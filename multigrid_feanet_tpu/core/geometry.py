@@ -1,0 +1,54 @@
+"""Domain geometry: interior masks, Dirichlet boundary values, phase maps.
+
+TPU-native equivalent of the reference's ``Geometry`` (reference:
+FEANet/geo.py:5-34) and the inclusion-placement logic of
+``MeshCenterInterface`` (reference: FEANet/mesh.py:62-76), vectorized —
+no per-element python loops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def interior_mask(n_nodes: int, dtype=jnp.float32) -> jax.Array:
+    """(H, W) mask: 1 at interior nodes, 0 on the square boundary.
+    (reference: FEANet/geo.py:13-20)"""
+    m = jnp.zeros((n_nodes, n_nodes), dtype=dtype)
+    return m.at[1:-1, 1:-1].set(1.0)
+
+
+def reset_boundary(u: jax.Array, geo: jax.Array, bc_value: jax.Array | float = 0.0) -> jax.Array:
+    """Re-impose Dirichlet values: u * geo + bc_value.
+    (reference: FEANet/jacobi.py:27-29)"""
+    return u * geo + bc_value
+
+
+def node_coords(size: float, n_elems: int) -> tuple[np.ndarray, np.ndarray]:
+    """Node coordinate grids (y[i], x[j]) on [-size/2, size/2], both ascending."""
+    c = np.linspace(-size / 2.0, size / 2.0, n_elems + 1)
+    return np.meshgrid(c, c, indexing="ij")
+
+
+def element_centroids(size: float, n_elems: int) -> tuple[np.ndarray, np.ndarray]:
+    """Element centroid coordinate grids (y[r], x[c]), ascending."""
+    h = size / n_elems
+    c = np.linspace(-size / 2.0 + h / 2.0, size / 2.0 - h / 2.0, n_elems)
+    return np.meshgrid(c, c, indexing="ij")
+
+
+def circle_phase(size: float, n_elems: int, center=(0.0, 0.0), radius: float = 0.5) -> np.ndarray:
+    """(n, n) element phase map: 1 inside the circular inclusion.
+    (reference: FEANet/mesh.py:62-68 place_circle; strict r^2 < radius^2)"""
+    yy, xx = element_centroids(size, n_elems)
+    r2 = (xx - center[0]) ** 2 + (yy - center[1]) ** 2
+    return (r2 < radius**2).astype(np.int8)
+
+
+def rect_phase(size: float, n_elems: int, center=(0.0, 0.0), r: float = 0.5) -> np.ndarray:
+    """(n, n) element phase map: 1 inside the axis-aligned square inclusion.
+    (reference: FEANet/mesh.py:70-76 place_rect)"""
+    yy, xx = element_centroids(size, n_elems)
+    return ((np.abs(xx - center[0]) < r) & (np.abs(yy - center[1]) < r)).astype(np.int8)

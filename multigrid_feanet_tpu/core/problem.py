@@ -1,0 +1,123 @@
+"""Problem specification and the multigrid level pyramid.
+
+A :class:`Problem` describes the PDE discretization (domain size, finest grid,
+two-phase coefficients, inclusion geometry, boundary conditions); a
+:class:`GridHierarchy` precomputes, once, everything the solvers need per
+level: stencil table, pattern-id field, Jacobi diagonal, interior mask.
+
+This replaces the reference's per-level ``SingleGrid`` objects (reference:
+FEANet/multigrid.py:12-47) which re-assembled meshes/convnets eagerly per
+construction, and fixes its rebuild-per-ResetBoundary diagonal cost
+(reference: FEANet/jacobi.py:17-25 — d_mat reassembled every JacobiBlock
+construction).  Levels are flax.struct pytrees, so a whole hierarchy passes
+through ``jax.jit`` with static shapes.
+
+Coarse-level operators are re-rasterized from the inclusion geometry at each
+resolution (geometric coarsening), exactly as the reference rebuilds
+``MeshCenterInterface`` per level n (reference: FEANet/multigrid.py:23-25,
+102-113).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from multigrid_feanet_tpu.core import geometry
+from multigrid_feanet_tpu.ops import stencil
+
+
+@struct.dataclass
+class Level:
+    """One multigrid level: static sizes + precomputed operator fields."""
+
+    n: int = struct.field(pytree_node=False)  # elements per edge
+    h: float = struct.field(pytree_node=False)  # element size
+    table: jax.Array = None  # (16,3,3) stencil table, or (3,3) if homogeneous
+    pid: Optional[jax.Array] = None  # (n+1, n+1) int8 pattern ids; None if homogeneous
+    geo: jax.Array = None  # (n+1, n+1) interior mask
+    diag: jax.Array = None  # (n+1, n+1) diag(A)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.n + 1
+
+    @property
+    def homogeneous(self) -> bool:
+        return self.pid is None
+
+    def apply(self, u: jax.Array) -> jax.Array:
+        """A @ u on this level."""
+        return stencil.apply_stencil(self.table, self.pid, u)
+
+
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    """Discretization spec. ``inclusion`` is None (homogeneous), a
+    ('circle', (cx, cy), radius) / ('rect', (cx, cy), half_width) tuple, or a
+    callable ``n -> (n, n) phase array``."""
+
+    n: int  # finest-grid elements per edge (power of 2)
+    size: float = 2.0
+    coefficients: tuple = (1.0, 20.0)
+    inclusion: object = None
+    dtype: object = jnp.float32
+
+    def phase(self, n: int) -> Optional[np.ndarray]:
+        if self.inclusion is None:
+            return None
+        if callable(self.inclusion):
+            return np.asarray(self.inclusion(n))
+        kind, center, radius = self.inclusion
+        if kind == "circle":
+            return geometry.circle_phase(self.size, n, center, radius)
+        if kind == "rect":
+            return geometry.rect_phase(self.size, n, center, radius)
+        raise ValueError(f"unknown inclusion kind {kind!r}")
+
+
+def build_level(problem: Problem, n: int) -> Level:
+    h = problem.size / n
+    phase = problem.phase(n)
+    if phase is None:
+        table = stencil.make_homogeneous_stencil(dtype=problem.dtype)
+        pid = None
+        diag = stencil.stencil_diagonal(table, None, shape=(n + 1, n + 1))
+    else:
+        table = stencil.make_stencil_table(problem.coefficients, dtype=problem.dtype)
+        pid = stencil.pattern_ids(jnp.asarray(phase))
+        diag = stencil.stencil_diagonal(table, pid)
+    geo = geometry.interior_mask(n + 1, dtype=problem.dtype)
+    return Level(n=n, h=h, table=table, pid=pid, geo=geo, diag=diag)
+
+
+@struct.dataclass
+class GridHierarchy:
+    """Finest-to-coarsest tuple of Levels.  Coarsest has n=2 (one interior
+    node), matching the reference's L = log2(n) levels with relax-only
+    coarsest solve (reference: FEANet/multigrid.py:87, MM_Model_convergence
+    cell 3)."""
+
+    levels: tuple = ()
+
+    @classmethod
+    def create(cls, problem: Problem, num_levels: Optional[int] = None) -> "GridHierarchy":
+        n = problem.n
+        L = int(np.log2(n)) if num_levels is None else num_levels
+        levels = []
+        for l in range(L):
+            levels.append(build_level(problem, n >> l))
+        return cls(levels=tuple(levels))
+
+    @property
+    def finest(self) -> Level:
+        return self.levels[0]
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)

@@ -1,0 +1,107 @@
+"""Geometric multigrid V-cycle with classical transfer operators.
+
+Cycle structure matches the reference's recursive V-cycle exactly
+(reference: MM_Model_convergence.ipynb cell 3 ``rec_V_cycle`` /
+``Multigrid.Solve``):
+
+  relax nu1  ->  r = f - A v  ->  f_c = 4 * FW-restrict(r)  ->  recurse
+  -> v += BC-reset(bilinear-prolong(v_c))  ->  relax nu2
+
+with the coarsest level (n=2, one interior node) getting relax-only treatment
+(nu1 then nu2 sweeps, no direct solve).  The recursion is unrolled in Python
+(static level count) so the whole cycle jits to one XLA program; the solve
+driver runs cycles in ``lax.scan`` chunks with a single host sync per chunk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multigrid_feanet_tpu.core.geometry import reset_boundary
+from multigrid_feanet_tpu.core.problem import GridHierarchy
+from multigrid_feanet_tpu.ops.transfer import restrict_full_weighting, prolong_bilinear
+from multigrid_feanet_tpu.solvers.jacobi import (
+    DEFAULT_OMEGA,
+    interior_norm,
+    relax,
+)
+
+
+def v_cycle(hier: GridHierarchy, u: jax.Array, f: jax.Array, nu1: int = 1, nu2: int = 1,
+            bc_value=0.0, omega: float = DEFAULT_OMEGA, level: int = 0) -> jax.Array:
+    """One recursive V(nu1, nu2) cycle starting at ``level``; returns updated u.
+
+    ``bc_value`` applies only on the finest level; coarse error equations use
+    homogeneous Dirichlet data, as in the reference (coarse Geometry boundary
+    values are all zero, reference: FEANet/geo.py:22-30).
+    """
+    levels = hier.levels
+    lv = levels[level]
+    bc = bc_value if level == 0 else 0.0
+    u = relax(lv, u, f, nu1, bc, omega)
+    if level < len(levels) - 1:
+        r = f - lv.apply(u)
+        # h^2 scaling of the coarse-grid right-hand side (factor 4), matching
+        # the reference's `4 * self.Restrict(residual)`.
+        f_c = 4.0 * restrict_full_weighting(r)
+        u_c = jnp.zeros(f_c.shape, dtype=u.dtype)
+        u_c = v_cycle(hier, u_c, f_c, nu1, nu2, 0.0, omega, level + 1)
+        u = u + prolong_bilinear(u_c, levels[level].geo)
+    return relax(lv, u, f, nu2, bc, omega)
+
+
+@partial(jax.jit, static_argnames=("nu1", "nu2", "chunk", "omega"))
+def _vcycle_chunk(hier: GridHierarchy, u, f, bc_value, nu1: int, nu2: int, chunk: int,
+                  omega: float):
+    """``chunk`` V-cycles; returns final u and post-cycle interior residual norms."""
+
+    def body(u, _):
+        u = v_cycle(hier, u, f, nu1, nu2, bc_value, omega)
+        res = interior_norm(f - hier.finest.apply(u))
+        return u, res
+
+    return jax.lax.scan(body, u, None, length=chunk)
+
+
+def solve(hier: GridHierarchy, f: jax.Array, u0: jax.Array | None = None, nu1: int = 1,
+          nu2: int = 1, bc_value=0.0, eps: float | None = 1e-6, max_cycles: int = 400,
+          chunk: int = 8, omega: float = DEFAULT_OMEGA):
+    """V-cycle to ``eps`` (absolute interior L2 residual) or ``max_cycles``.
+
+    Returns ``(u, res_history)``; ``res_history[k]`` is the residual after
+    cycle k+1, the reference's ``res_arr_Vcycle`` convention.
+    """
+    H = hier.finest.n_nodes
+    if u0 is None:
+        u0 = jnp.zeros((H, H), dtype=f.dtype)
+    u = u0
+    bc_value = jnp.asarray(bc_value, dtype=f.dtype)
+    history = []
+    done = 0
+    while done < max_cycles:
+        k = min(chunk, max_cycles - done)
+        u, norms = _vcycle_chunk(hier, u, f, bc_value, nu1, nu2, k, omega)
+        norms = jax.device_get(norms)
+        history.append(norms)
+        done += k
+        if eps is not None:
+            hit = norms <= eps
+            if hit.any():
+                history[-1] = norms[: int(hit.argmax()) + 1]
+                break
+        if not np.isfinite(norms[-1]):
+            break
+    return u, np.concatenate(history)
+
+
+def convergence_factor(res_history, m: int | None = None) -> float:
+    """q = r[m] / r[m-1] (last ratio by default), the reference's
+    ``compute_q`` (reference: MM_Model_convergence.ipynb cell 4)."""
+    r = np.asarray(res_history)
+    if m is None:
+        return float(r[-1] / r[-2])
+    return float(r[m] / r[m - 1])
