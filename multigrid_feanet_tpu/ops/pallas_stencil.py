@@ -1,0 +1,298 @@
+"""Pallas TPU kernels for the 3x3 stencil operator and fused Jacobi sweep.
+
+Design (see /opt/skills/guides/pallas_guide.md):
+
+- Row-blocked pipeline: the grid iterates over row blocks of the (padded)
+  field; ``f``/``pid``/outputs ride the automatic Pallas pipeline while ``u``
+  stays in HBM and each step manually DMAs its (BR+2, W) halo slice into a
+  double-buffered VMEM scratch (the +-1 row halo overlaps block boundaries,
+  which BlockSpecs cannot express).
+- Column neighbours are realized with lane rolls of the in-VMEM tile; the
+  wrap-around columns land only in masked (boundary / padding) lanes.
+- The bi-material operator is evaluated in *bitplane form*: the per-node
+  3x3 stencil is affine in the 4 surrounding element-phase bits,
+
+      A u = a0 * S9(u) + (a1 - a0) * sum_e bit_e(pid) .* S4_e(u)
+
+  (S9 = unit 9-point FEM Laplace stencil, S4_e = element e's 4-tap unit-Ke
+  contribution), i.e. 25 FMA taps total instead of a 16-way vector select.
+  The Jacobi diagonal is likewise affine in the bits: d = (2/3) * sum_e a_e.
+- The fused sweep computes  u_new = where(interior, u + omega/d * (f - A u), u)
+  — boundary (and padding) nodes keep their current value, so arbitrary
+  Dirichlet data is handled by initializing u's boundary ring once (the
+  math matches the reference's per-sweep reset, FEANet/jacobi.py:39-47).
+- HBM traffic per fused sweep: u(4) + f(4) + pid(1) + u_out(4) = 13 B/node
+  (+1 row of halo re-read per block), vs. the reference's two 16-channel
+  convolutions.  A per-block partial sum of the masked squared residual is
+  emitted for free, so solve loops get residual norms without a second pass.
+
+All shapes are padded to (8, 128)-aligned tiles by the host-side wrappers;
+masks are derived from broadcasted iota against the *logical* (H, W), which
+are compile-time constants.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Unit-Ke tap tables (see ops/stencil.py for the derivation; these are the
+# per-element contributions of a coefficient-1 element to the center node's
+# row).  Quadrant order matches the pid bit order: SW, SE, NW, NE.
+_CENTER = 2.0 / 3.0
+_EDGE = -1.0 / 6.0
+_CORNER = -1.0 / 3.0
+
+# S4_e: {(dr, dc): tap} for each element quadrant e (dr, dc in {-1, 0, 1})
+_S4 = (
+    {(0, 0): _CENTER, (-1, 0): _EDGE, (0, -1): _EDGE, (-1, -1): _CORNER},  # SW
+    {(0, 0): _CENTER, (-1, 0): _EDGE, (0, 1): _EDGE, (-1, 1): _CORNER},  # SE
+    {(0, 0): _CENTER, (1, 0): _EDGE, (0, -1): _EDGE, (1, -1): _CORNER},  # NW
+    {(0, 0): _CENTER, (1, 0): _EDGE, (0, 1): _EDGE, (1, 1): _CORNER},  # NE
+)
+
+# S9 = sum of the four S4_e: the homogeneous 9-point FEM Laplace stencil.
+_S9 = {}
+for _t in _S4:
+    for _k, _v in _t.items():
+        _S9[_k] = _S9.get(_k, 0.0) + _v
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _shift(tile, dr: int, dc: int, rows: int):
+    """tile: (rows+16, Wp) rows with the block's data at local rows 8..8+rows
+    (7-row aligned DMA lead-in + 1 halo row above, 1 halo + 7 slack below);
+    returns the (rows, Wp) view holding u[i+dr, j+dc] at local (i, j).  Row
+    halo is explicit; column shift is a lane roll (wrap lands in masked
+    lanes only)."""
+    x = tile[8 + dr : 8 + dr + rows, :]
+    if dc == 0:
+        return x
+    # want out[j] = x[j + dc]  ->  circular roll by -dc (non-negative form)
+    return pltpu.roll(x, (-dc) % x.shape[1], 1)
+
+
+def _apply_taps(tile, pid_blk, rows: int, a0: float, da: float, bimaterial: bool):
+    """A u for one block. tile: (rows+2, Wp) f32; pid_blk: (rows, Wp) int."""
+    acc = None
+    for (dr, dc), w in _S9.items():
+        term = (a0 * w) * _shift(tile, dr, dc, rows)
+        acc = term if acc is None else acc + term
+    if bimaterial:
+        p = pid_blk.astype(jnp.int32)
+        for e, taps in enumerate(_S4):
+            bit = ((p >> e) & 1).astype(tile.dtype)
+            t4 = None
+            for (dr, dc), w in taps.items():
+                term = w * _shift(tile, dr, dc, rows)
+                t4 = term if t4 is None else t4 + term
+            acc = acc + (da * bit) * t4
+    return acc
+
+
+def _diag(pid_blk, a0: float, da: float, bimaterial: bool, dtype):
+    if not bimaterial:
+        return jnp.asarray(4.0 * _CENTER * a0, dtype=dtype)
+    p = pid_blk.astype(jnp.int32)
+    nbits = (p & 1) + ((p >> 1) & 1) + ((p >> 2) & 1) + ((p >> 3) & 1)
+    return _CENTER * (4.0 * a0 + da * nbits.astype(dtype))
+
+
+def _interior_mask(i, rows: int, Wp: int, H: int, W: int, dtype):
+    """1.0 at logical-interior nodes of this block, else 0."""
+    gr = i * rows + jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 1)
+    m = (gr >= 1) & (gr <= H - 2) & (gc >= 1) & (gc <= W - 2)
+    return m.astype(dtype)
+
+
+def _sweep_kernel(u_hbm, f_ref, pid_ref, u_out, rsq_ref, scratch, sems, *,
+                  rows, H, W, Wp, a0, da, omega, bimaterial, mode):
+    """mode: 'sweep' (fused Jacobi) or 'residual' (r = masked(f - A u))."""
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    def dma(block, slot):
+        # u_hbm is ghost-block padded: global row g lives at buffer row
+        # g + rows.  The tile needs buffer rows [(block+1)*rows - 1,
+        # (block+2)*rows + 1); HBM slices must be 8-row aligned, so fetch
+        # [(block+1)*rows - 8, ...) with size rows+16 (data at local row 8).
+        start = pl.multiple_of((block + 1) * rows - 8, 8)
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(start, rows + 16)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        dma(i + 1, (i + 1) % 2).start()
+
+    dma(i, i % 2).wait()
+    tile = scratch[i % 2]  # (rows+2, Wp)
+
+    pid_blk = pid_ref[...] if bimaterial else None
+    au = _apply_taps(tile, pid_blk, rows, a0, da, bimaterial)
+    r = f_ref[...] - au
+    mask = _interior_mask(i, rows, Wp, H, W, r.dtype)
+    r = r * mask
+    if mode == "sweep":
+        d = _diag(pid_blk, a0, da, bimaterial, r.dtype)
+        u_out[...] = tile[8 : 8 + rows, :] + (omega / d) * r
+    else:
+        u_out[...] = r
+    rsq_ref[i, 0] = jnp.sum(r * r)
+
+
+def _pick_rows(H: int, Wp: int, vmem_budget: int = 12 * 2 ** 20) -> int:
+    """Row-block size: multiple of 32 (int8 sublane tiling).
+
+    VMEM per block-row: 26 B/node of double-buffered tiles (2x f32 scratch,
+    f, out; 2x int8 pid) plus roughly as much again in Mosaic vector-stack
+    intermediates for the 25-tap bitplane evaluation — budget ~52 B/node
+    against the 16 MB scoped-VMEM limit.
+    """
+    target = max(32, vmem_budget // (52 * Wp))
+    return _round_up(min(target, H), 32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "a0", "da", "omega", "mode", "interpret", "rows"),
+)
+def _run(u_pad, f_pad, pid_pad, *, H, W, a0, da, omega, mode, interpret, rows):
+    HpG, Wp = u_pad.shape
+    Hp = HpG - 2 * rows  # ghost block above and below
+    nb = Hp // rows
+    bimaterial = pid_pad is not None
+    kernel = functools.partial(
+        _sweep_kernel,
+        rows=rows, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega,
+        bimaterial=bimaterial, mode=mode,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # u (manual DMA)
+        pl.BlockSpec((rows, Wp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [u_pad, f_pad]
+    if bimaterial:
+        in_specs.append(pl.BlockSpec((rows, Wp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM))
+        args.append(pid_pad)
+    else:
+        # placeholder so the kernel signature is uniform (never read)
+        in_specs.append(pl.BlockSpec((32, 128), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        args.append(jnp.zeros((32, 128), dtype=jnp.int8))
+    out, rsq = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((rows, Wp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+            # per-block residual partials: one persistent SMEM buffer, each
+            # grid step writes its own row
+            pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((HpG, Wp), u_pad.dtype),
+            jax.ShapeDtypeStruct((nb, 1), u_pad.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, rows + 16, Wp), u_pad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(50 if bimaterial else 18) * Hp * Wp,
+            bytes_accessed=(13 if bimaterial else 12) * Hp * Wp,
+            transcendentals=0,
+        ),
+    )(*args)
+    return out, jnp.sum(rsq)
+
+
+class PallasStencil:
+    """Host-side wrapper owning the padded operator fields for one level.
+
+    Pads the (H, W) = (n+1, n+1) node grid to lane/sublane-aligned (Hp, Wp)
+    once; ``pad``/``unpad`` move fields in and out, and sweeps/residuals run
+    entirely on padded buffers (pad once per solve, not per sweep).
+    """
+
+    def __init__(self, n: int, pid=None, coefficients=(1.0, 20.0), omega: float = 2.0 / 3.0,
+                 dtype=jnp.float32, interpret: bool | None = None, rows: int | None = None):
+        self.n = n
+        self.H = self.W = n + 1
+        self.Wp = _round_up(self.W, 128)
+        self.rows = rows or _pick_rows(self.H, self.Wp)
+        self.Hp = _round_up(self.H, self.rows)
+        self.a0 = float(coefficients[0])
+        self.da = float(coefficients[1]) - float(coefficients[0]) if pid is not None else 0.0
+        self.omega = float(omega)
+        self.dtype = dtype
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+        # Ghost-block layout: every padded buffer is (Hp + 2*rows, Wp) with
+        # global row g at buffer row g + rows.  Output blocks then stay
+        # block-aligned while halo DMAs start at 8-aligned offsets, and
+        # sweeps ping-pong with no per-sweep re-padding.  Ghost blocks are
+        # never written by the kernel (their stale contents only feed taps
+        # of masked boundary/padding rows).
+        if pid is not None:
+            self.pid_pad = self.pad(jnp.asarray(pid), dtype=jnp.int8)
+        else:
+            self.pid_pad = None
+
+    @property
+    def ghost(self) -> int:
+        return self.rows
+
+    def pad(self, x, dtype=None):
+        """(H, W) -> ghost-block padded (Hp + 2*rows, Wp)."""
+        dtype = dtype or self.dtype
+        G = self.rows
+        out = jnp.zeros((self.Hp + 2 * G, self.Wp), dtype=dtype)
+        return out.at[G : G + self.H, : self.W].set(x.astype(dtype))
+
+    def unpad(self, x):
+        G = self.rows
+        return x[G : G + self.H, : self.W]
+
+    def _call(self, u_pad, f_pad, mode):
+        return _run(
+            u_pad, f_pad, self.pid_pad,
+            H=self.H, W=self.W, a0=self.a0, da=self.da, omega=self.omega,
+            mode=mode, interpret=self.interpret, rows=self.rows,
+        )
+
+    def sweep_padded(self, u_pad, f_pad):
+        """One fused Jacobi sweep on ghost-padded buffers -> (u_new, rsq)
+        where rsq is the pre-update interior squared residual norm."""
+        return self._call(u_pad, f_pad, "sweep")
+
+    def residual_padded(self, u_pad, f_pad):
+        """Interior-masked residual f - A u on ghost-padded buffers + norm^2."""
+        return self._call(u_pad, f_pad, "residual")
+
+    # ---- unpadded convenience API (pads per call; fine for tests) ----
+
+    def sweep(self, u, f):
+        u_new, rsq = self.sweep_padded(self.pad(u), self.pad(f))
+        return self.unpad(u_new), rsq
+
+    def residual(self, u, f):
+        r, rsq = self.residual_padded(self.pad(u), self.pad(f))
+        return self.unpad(r), rsq
