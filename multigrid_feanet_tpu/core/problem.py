@@ -38,6 +38,10 @@ class Level:
 
     n: int = struct.field(pytree_node=False)  # elements per edge
     h: float = struct.field(pytree_node=False)  # element size
+    # two-phase coefficients as static floats enable the gather-free bitplane
+    # apply (ops/stencil.py apply_stencil_bitplane); None for general tables
+    a0: Optional[float] = struct.field(pytree_node=False, default=None)
+    a1: Optional[float] = struct.field(pytree_node=False, default=None)
     table: jax.Array = None  # (16,3,3) stencil table, or (3,3) if homogeneous
     pid: Optional[jax.Array] = None  # (n+1, n+1) int8 pattern ids; None if homogeneous
     geo: jax.Array = None  # (n+1, n+1) interior mask
@@ -52,7 +56,9 @@ class Level:
         return self.pid is None
 
     def apply(self, u: jax.Array) -> jax.Array:
-        """A @ u on this level."""
+        """A @ u on this level (bitplane form when two-phase, else gather)."""
+        if self.pid is not None and self.a0 is not None:
+            return stencil.apply_stencil_bitplane(self.pid, u, self.a0, self.a1)
         return stencil.apply_stencil(self.table, self.pid, u)
 
 
@@ -93,7 +99,10 @@ def build_level(problem: Problem, n: int) -> Level:
         pid = stencil.pattern_ids(jnp.asarray(phase))
         diag = stencil.stencil_diagonal(table, pid)
     geo = geometry.interior_mask(n + 1, dtype=problem.dtype)
-    return Level(n=n, h=h, table=table, pid=pid, geo=geo, diag=diag)
+    a0 = a1 = None
+    if phase is not None and len(problem.coefficients) == 2:
+        a0, a1 = (float(c) for c in problem.coefficients)
+    return Level(n=n, h=h, a0=a0, a1=a1, table=table, pid=pid, geo=geo, diag=diag)
 
 
 @struct.dataclass

@@ -1,0 +1,190 @@
+"""HDF5 datasets and batching — numpy/JAX replacements for the reference's
+torch Dataset classes (reference: Data/dataset.py:6-104).
+
+Each dataset is a lightweight container of numpy arrays with ``__len__`` /
+``__getitem__`` and a :func:`batches` iterator producing jnp arrays; no
+torch dependency.  Field names and shapes mirror the reference's h5 layout,
+so the checked-in reference files load unchanged.
+
+Also includes generators that recreate the reference's *missing* dataset
+files (the 129x129 IsoPoisson and PBC sets are gitignored upstream,
+reference: .gitignore / Data/IsoPoisson/python_fem.ipynb cell 8) using our
+independent FEM oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+import jax
+import jax.numpy as jnp
+
+from multigrid_feanet_tpu.data import fem, rhs
+
+
+@dataclasses.dataclass
+class RHSDataset:
+    """RHS-only fields ('train'/'test' keys).  (reference: Data/dataset.py:6-24)"""
+
+    data: np.ndarray
+
+    @classmethod
+    def from_h5(cls, path: str, case: str = "train") -> "RHSDataset":
+        with h5py.File(path, "r") as h5:
+            return cls(np.array(h5[case], dtype=np.float32))
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    def __getitem__(self, idx):
+        return self.data[idx]
+
+
+@dataclasses.dataclass
+class IsoPoissonDataset:
+    """(u, f, bc_value, bc_index) quadruples.  (reference: Data/dataset.py:26-51)"""
+
+    u: np.ndarray
+    f: np.ndarray
+    bc_value: np.ndarray
+    bc_index: np.ndarray
+
+    @classmethod
+    def from_h5(cls, path: str) -> "IsoPoissonDataset":
+        with h5py.File(path, "r") as h5:
+            return cls(
+                u=np.array(h5["u"], dtype=np.float32),
+                f=np.array(h5["rhs"], dtype=np.float32),
+                bc_value=np.array(h5["boundary_value"], dtype=np.float32),
+                bc_index=np.array(h5["boundary_index"], dtype=np.float32),
+            )
+
+    def __len__(self):
+        return self.f.shape[0]
+
+    def __getitem__(self, idx):
+        return self.u[idx], self.f[idx], self.bc_value[idx], self.bc_index[idx]
+
+
+@dataclasses.dataclass
+class IsoPoissonPBCDataset:
+    """Periodic problems: f only.  (reference: Data/dataset.py:53-69)"""
+
+    f: np.ndarray
+
+    @classmethod
+    def from_h5(cls, path: str) -> "IsoPoissonPBCDataset":
+        with h5py.File(path, "r") as h5:
+            return cls(f=np.array(h5["rhs"], dtype=np.float32))
+
+    def __len__(self):
+        return self.f.shape[0]
+
+    def __getitem__(self, idx):
+        return self.f[idx]
+
+
+@dataclasses.dataclass
+class TestPoissonDataset:
+    """7-field general test set (float64).  (reference: Data/dataset.py:71-104)"""
+
+    dirich_idx: np.ndarray
+    dirich_value: np.ndarray
+    neumann_idx: np.ndarray
+    neumann_value: np.ndarray
+    material: np.ndarray
+    source: np.ndarray
+    solution: np.ndarray
+
+    @classmethod
+    def from_h5(cls, path: str) -> "TestPoissonDataset":
+        with h5py.File(path, "r") as h5:
+            return cls(
+                dirich_idx=np.array(h5["dirich_idx"], dtype=np.float64),
+                dirich_value=np.array(h5["dirich_value"], dtype=np.float64),
+                neumann_idx=np.array(h5["neumann_idx"], dtype=np.float64),
+                neumann_value=np.array(h5["neumann_value"], dtype=np.float64),
+                material=np.array(h5["material"], dtype=np.float64),
+                source=np.array(h5["source"], dtype=np.float64),
+                solution=np.array(h5["solution"], dtype=np.float64),
+            )
+
+    def __len__(self):
+        return self.source.shape[0]
+
+    def __getitem__(self, idx):
+        return (self.dirich_idx[idx], self.dirich_value[idx], self.neumann_idx[idx],
+                self.neumann_value[idx], self.material[idx], self.source[idx],
+                self.solution[idx])
+
+
+def batches(dataset, batch_size: int, *, shuffle: bool = True, seed: int = 0,
+            drop_remainder: bool = False) -> Iterator:
+    """Iterate minibatches of jnp arrays (stacked tuple fields)."""
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    stop = n - (n % batch_size) if drop_remainder else n
+    for start in range(0, stop, batch_size):
+        idx = order[start : start + batch_size]
+        items = [dataset[int(i)] for i in idx]
+        if isinstance(items[0], tuple):
+            yield tuple(jnp.asarray(np.stack(f)) for f in zip(*items))
+        else:
+            yield jnp.asarray(np.stack(items))
+
+
+def generate_isopoisson(n: int, num_samples: int, seed: int = 0,
+                        alpha: float = 10.6) -> IsoPoissonDataset:
+    """Recreate the IsoPoisson dataset with the FEM oracle.
+
+    Per sample: smooth GRF RHS (alpha=10.6, reference python_fem.ipynb cell
+    2), random GRF Dirichlet boundary values, f64 partition solve.
+    Replaces the reference's missing ``poisson2d_{n+1}x{n+1}.h5`` files.
+    """
+    key = jax.random.PRNGKey(seed)
+    H = n + 1
+    us, fs, bvs, bis = [], [], [], []
+    # reference convention: boundary_index is 1 at INTERIOR nodes, 0 on the
+    # boundary ring (it is used directly as the reset mask, u*idx + value;
+    # verified against Data/IsoPoisson/poisson2d_33x33.h5)
+    bc_index = np.ones((H, H), dtype=np.float32)
+    bc_index[0, :] = bc_index[-1, :] = bc_index[:, 0] = bc_index[:, -1] = 0.0
+    boundary_ring = 1.0 - bc_index
+    for i in range(num_samples):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+        f = np.asarray(rhs.gaussian_random_field(k1, H, alpha=alpha), dtype=np.float64)
+        bc_field = np.asarray(rhs.gaussian_random_field(k2, H, alpha=alpha), dtype=np.float64)
+        bc = bc_field * boundary_ring.astype(np.float64)
+        u = fem.solve_dirichlet(n, f, bc_value=bc)
+        us.append(u.astype(np.float32))
+        fs.append(f.astype(np.float32))
+        bvs.append(bc.astype(np.float32))
+        bis.append(bc_index)
+    return IsoPoissonDataset(
+        u=np.stack(us), f=np.stack(fs), bc_value=np.stack(bvs), bc_index=np.stack(bis)
+    )
+
+
+def save_isopoisson(ds: IsoPoissonDataset, path: str) -> None:
+    with h5py.File(path, "w") as h5:
+        h5["u"] = ds.u
+        h5["rhs"] = ds.f
+        h5["boundary_value"] = ds.bc_value
+        h5["boundary_index"] = ds.bc_index
+
+
+def save_rhs(path: str, train: np.ndarray, test: np.ndarray) -> None:
+    """Write an RHS dataset in the reference's layout (train/test keys)."""
+    with h5py.File(path, "w") as h5:
+        h5["train"] = train
+        h5["test"] = test

@@ -107,12 +107,11 @@ def _diag(pid_blk, a0: float, da: float, bimaterial: bool, dtype):
     return _CENTER * (4.0 * a0 + da * nbits.astype(dtype))
 
 
-def _interior_mask(i, rows: int, Wp: int, H: int, W: int, dtype):
-    """1.0 at logical-interior nodes of this block, else 0."""
+def _interior_mask(i, rows: int, Wp: int, H: int, W: int):
+    """Bool mask of logical-interior nodes of this block."""
     gr = i * rows + jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 0)
     gc = jax.lax.broadcasted_iota(jnp.int32, (rows, Wp), 1)
-    m = (gr >= 1) & (gr <= H - 2) & (gc >= 1) & (gc <= W - 2)
-    return m.astype(dtype)
+    return (gr >= 1) & (gr <= H - 2) & (gc >= 1) & (gc <= W - 2)
 
 
 def _sweep_kernel(u_hbm, f_ref, pid_ref, u_out, rsq_ref, scratch, sems, *,
@@ -147,8 +146,9 @@ def _sweep_kernel(u_hbm, f_ref, pid_ref, u_out, rsq_ref, scratch, sems, *,
     pid_blk = pid_ref[...] if bimaterial else None
     au = _apply_taps(tile, pid_blk, rows, a0, da, bimaterial)
     r = f_ref[...] - au
-    mask = _interior_mask(i, rows, Wp, H, W, r.dtype)
-    r = r * mask
+    # select, not multiply: ghost-block taps can carry uninitialized values
+    # (even NaN) into masked lanes, and NaN * 0 would leak back in
+    r = jnp.where(_interior_mask(i, rows, Wp, H, W), r, 0.0)
     if mode == "sweep":
         d = _diag(pid_blk, a0, da, bimaterial, r.dtype)
         u_out[...] = tile[8 : 8 + rows, :] + (omega / d) * r

@@ -66,6 +66,26 @@ MASS_KERNEL = np.array(
 # Offsets (dr, dc) of the four elements around a node, in pid bit order.
 _ELEM_OFFSETS = ((-1, -1), (-1, 0), (0, -1), (0, 0))
 
+# Unit-Ke tap tables for the *bitplane* operator form.  The per-node stencil
+# is affine in the 4 surrounding element-phase bits:
+#     A u = a0 * S9(u) + (a1 - a0) * sum_e bit_e(pid) .* S4_e(u)
+# where S4_e maps tap offset (dr, dc) -> contribution of a coefficient-1
+# element in quadrant e (bit order SW, SE, NW, NE) and S9 = sum_e S4_e is the
+# homogeneous 9-point FEM Laplace stencil.  This evaluates the bi-material
+# operator in 25 FMA taps with no gather — the production form on TPU (both
+# here and in the Pallas kernel, ops/pallas_stencil.py).
+_C, _E, _D = 2.0 / 3.0, -1.0 / 6.0, -1.0 / 3.0
+UNIT_S4 = (
+    {(0, 0): _C, (-1, 0): _E, (0, -1): _E, (-1, -1): _D},  # SW
+    {(0, 0): _C, (-1, 0): _E, (0, 1): _E, (-1, 1): _D},  # SE
+    {(0, 0): _C, (1, 0): _E, (0, -1): _E, (1, -1): _D},  # NW
+    {(0, 0): _C, (1, 0): _E, (0, 1): _E, (1, 1): _D},  # NE
+)
+UNIT_S9 = {}
+for _t in UNIT_S4:
+    for _k, _v in _t.items():
+        UNIT_S9[_k] = UNIT_S9.get(_k, 0.0) + _v
+
 
 def _element_local_nodes(r: int, c: int):
     """Local CCW node ordering of element (r, c): node (i, j) -> local index."""
@@ -182,6 +202,33 @@ def apply_stencil(table: jax.Array, pid: jax.Array | None, u: jax.Array) -> jax.
             else:
                 out = out + coeff[..., dr, dc] * shifted
     return out
+
+
+def _taps(u: jax.Array, taps: dict) -> jax.Array:
+    """Apply a {(dr, dc): weight} stencil to (..., H, W) with zero ghosts."""
+    H, W = u.shape[-2:]
+    up = jnp.pad(u, [(0, 0)] * (u.ndim - 2) + [(1, 1), (1, 1)])
+    out = None
+    for (dr, dc), w in taps.items():
+        t = w * up[..., 1 + dr : 1 + dr + H, 1 + dc : 1 + dc + W]
+        out = t if out is None else out + t
+    return out
+
+
+def apply_stencil_bitplane(pid: jax.Array, u: jax.Array, a0: float, a1: float) -> jax.Array:
+    """A @ u for the two-phase operator in bitplane form (no gather).
+
+    Numerically identical to :func:`apply_stencil` with
+    ``make_stencil_table((a0, a1))`` but lowered to pure shifts/FMAs —
+    the fast XLA form on TPU (gathers of per-node tables do not vectorize).
+    """
+    da = float(a1) - float(a0)
+    acc = float(a0) * _taps(u, UNIT_S9)
+    p = pid.astype(jnp.int32)
+    for e, taps in enumerate(UNIT_S4):
+        bit = ((p >> e) & 1).astype(u.dtype)
+        acc = acc + (da * bit) * _taps(u, taps)
+    return acc
 
 
 def stencil_diagonal(table: jax.Array, pid: jax.Array | None, shape=None) -> jax.Array:

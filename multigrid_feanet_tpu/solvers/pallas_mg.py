@@ -1,0 +1,223 @@
+"""Fused Pallas-backed multigrid and Jacobi solvers.
+
+Two performance rules drive this module's shape:
+
+1. Host->device dispatch is expensive (tens of ms through the TPU tunnel),
+   so a *whole solve* — V-cycles + convergence test + residual history —
+   compiles to ONE XLA program with a `lax.while_loop`; the host syncs once.
+   (The reference syncs `.item()` every iteration.)
+2. Fine levels run the fused Pallas stencil kernels (ops/pallas_stencil.py,
+   13 B/node/sweep); coarse levels (n < threshold) use the XLA bitplane ops,
+   which fuse well at small sizes and avoid per-kernel launch overhead.
+
+Cycle math is identical to solvers/multigrid.py (and hence the reference's
+rec_V_cycle, MM_Model_convergence.ipynb cell 3): relax nu1 -> residual ->
+f_c = 4*FW-restrict -> recurse -> add BC-reset bilinear prolongation ->
+relax nu2, coarsest level relax-only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multigrid_feanet_tpu.core.geometry import reset_boundary
+from multigrid_feanet_tpu.core.problem import GridHierarchy
+from multigrid_feanet_tpu.ops.pallas_stencil import PallasStencil
+from multigrid_feanet_tpu.ops.transfer import restrict_full_weighting, prolong_bilinear
+from multigrid_feanet_tpu.solvers import jacobi as jac
+from multigrid_feanet_tpu.solvers.jacobi import DEFAULT_OMEGA
+
+
+class PallasHierarchy:
+    """A GridHierarchy plus per-level Pallas kernel wrappers.
+
+    Levels with ``n >= pallas_threshold`` get a :class:`PallasStencil`;
+    smaller levels use the XLA ops.  Solve entry points are compiled once
+    per (nu1, nu2, eps, max_cycles) signature and cached on the instance.
+    """
+
+    def __init__(self, hier: GridHierarchy, coefficients=None, omega: float = DEFAULT_OMEGA,
+                 pallas_threshold: int = 256, interpret: Optional[bool] = None):
+        self.hier = hier
+        self.omega = float(omega)
+        self.ps = []
+        for lv in hier.levels:
+            if lv.n >= pallas_threshold:
+                if lv.pid is not None:
+                    coeffs = (lv.a0, lv.a1)
+                    self.ps.append(
+                        PallasStencil(lv.n, pid=lv.pid, coefficients=coeffs, omega=omega,
+                                      interpret=interpret)
+                    )
+                else:
+                    self.ps.append(PallasStencil(lv.n, pid=None, omega=omega, interpret=interpret))
+            else:
+                self.ps.append(None)
+        self._compiled = {}
+
+    # ---- level-local ops in each level's native representation ----
+
+    def _sweep(self, l: int, u, f):
+        lv, ps = self.hier.levels[l], self.ps[l]
+        if ps is not None:
+            u_new, _ = ps.sweep_padded(u, f)
+            return u_new
+        return jac.jacobi_step(lv, u, f, 0.0, self.omega)
+
+    def _residual_plain(self, l: int, u, f):
+        """Residual as a plain (n+1, n+1) field (for restriction)."""
+        lv, ps = self.hier.levels[l], self.ps[l]
+        if ps is not None:
+            r_pad, _ = ps.residual_padded(u, f)
+            return ps.unpad(r_pad)
+        return f - lv.apply(u)
+
+    def _zeros(self, l: int):
+        lv, ps = self.hier.levels[l], self.ps[l]
+        if ps is not None:
+            G = ps.rows
+            return jnp.zeros((ps.Hp + 2 * G, ps.Wp), dtype=ps.dtype)
+        return jnp.zeros((lv.n_nodes, lv.n_nodes), dtype=lv.geo.dtype)
+
+    def _to_level(self, l: int, x_plain):
+        ps = self.ps[l]
+        return ps.pad(x_plain) if ps is not None else x_plain
+
+    def _add_plain(self, l: int, u, delta_plain):
+        ps = self.ps[l]
+        if ps is not None:
+            G = ps.rows
+            H = ps.H
+            return u.at[G : G + H, : ps.W].add(delta_plain.astype(u.dtype))
+        return u + delta_plain
+
+    def _as_plain(self, l: int, u):
+        ps = self.ps[l]
+        return ps.unpad(u) if ps is not None else u
+
+    def v_cycle(self, u, f_lv, nu1: int, nu2: int, level: int = 0):
+        """One recursive V(nu1, nu2) cycle; ``u`` and ``f_lv`` in the level's
+        native (padded or plain) representation."""
+        L = self.hier.num_levels
+        lv = self.hier.levels[level]
+        for _ in range(nu1):
+            u = self._sweep(level, u, f_lv)
+        if level < L - 1:
+            r = self._residual_plain(level, u, f_lv)
+            f_c = self._to_level(level + 1, 4.0 * restrict_full_weighting(r))
+            u_c = self.v_cycle(self._zeros(level + 1), f_c, nu1, nu2, level + 1)
+            corr = prolong_bilinear(self._as_plain(level + 1, u_c), lv.geo)
+            u = self._add_plain(level, u, corr)
+        for _ in range(nu2):
+            u = self._sweep(level, u, f_lv)
+        return u
+
+    # ---- fused solve entry points (one device dispatch per solve) ----
+
+    def _finest_res_norm(self, u, f):
+        ps = self.ps[0]
+        if ps is not None:
+            _, rsq = ps.residual_padded(u, f)
+            return jnp.sqrt(rsq)
+        r = f - self.hier.finest.apply(u)
+        return jac.interior_norm(r)
+
+    def solve(self, f, u0=None, bc_value=None, nu1: int = 1, nu2: int = 1,
+              eps: float = 1e-6, max_cycles: int = 100):
+        """V-cycle solve to ``eps`` inside a single on-device while loop.
+
+        ``f`` is the mass-convolved RHS as a plain (n+1, n+1) field.
+        Returns (u, res_history[:n_cycles]); history convention matches the
+        reference (entry k = residual after cycle k+1).
+        """
+        lv0, ps0 = self.hier.finest, self.ps[0]
+        H = lv0.n_nodes
+        dtype = ps0.dtype if ps0 is not None else lv0.geo.dtype
+        if u0 is None:
+            u0 = jnp.zeros((H, H), dtype=dtype)
+        if bc_value is not None:
+            u0 = reset_boundary(u0, lv0.geo, bc_value)
+        else:
+            u0 = reset_boundary(u0, lv0.geo, 0.0)
+
+        key = ("solve", nu1, nu2, float(eps), max_cycles)
+        if key not in self._compiled:
+
+            @jax.jit
+            def run(u0_plain, f_plain):
+                u = self._to_level(0, u0_plain)
+                f_lv = self._to_level(0, f_plain)
+                hist0 = jnp.full((max_cycles,), jnp.inf, dtype=jnp.float32)
+
+                def cond(c):
+                    u, k, res, hist = c
+                    return (res > eps) & (k < max_cycles)
+
+                def body(c):
+                    u, k, res, hist = c
+                    u = self.v_cycle(u, f_lv, nu1, nu2)
+                    res = self._finest_res_norm(u, f_lv).astype(jnp.float32)
+                    return (u, k + 1, res, hist.at[k].set(res))
+
+                u, k, res, hist = jax.lax.while_loop(
+                    cond, body, (u, jnp.int32(0), jnp.float32(jnp.inf), hist0)
+                )
+                return self._as_plain(0, u), k, hist
+
+            self._compiled[key] = run
+        u, k, hist = self._compiled[key](u0, f)
+        k = int(k)
+        return u, np.asarray(hist)[:k]
+
+    def solve_jacobi(self, f, u0=None, bc_value=None, eps: float = 1e-5,
+                     max_iters: int = 100_000):
+        """Plain weighted-Jacobi solve in one on-device while loop.
+
+        The convergence test uses the sweep kernel's free pre-update residual
+        (equal to the post-update residual of the previous sweep), so each
+        iteration costs exactly one fused kernel pass.
+        """
+        lv0, ps0 = self.hier.finest, self.ps[0]
+        H = lv0.n_nodes
+        dtype = ps0.dtype if ps0 is not None else lv0.geo.dtype
+        if u0 is None:
+            u0 = jnp.zeros((H, H), dtype=dtype)
+        u0 = reset_boundary(u0, lv0.geo, 0.0 if bc_value is None else bc_value)
+
+        key = ("jacobi", float(eps), max_iters)
+        if key not in self._compiled:
+
+            @jax.jit
+            def run(u0_plain, f_plain):
+                u = self._to_level(0, u0_plain)
+                f_lv = self._to_level(0, f_plain)
+
+                def cond(c):
+                    u, k, res = c
+                    return (res > eps) & (k < max_iters)
+
+                def body(c):
+                    u, k, res = c
+                    if ps0 is not None:
+                        u, rsq = ps0.sweep_padded(u, f_lv)
+                        res = jnp.sqrt(rsq).astype(jnp.float32)
+                    else:
+                        u = jac.jacobi_step(lv0, u, f_lv, 0.0, self.omega)
+                        res = jac.interior_norm(f_lv - lv0.apply(u)).astype(jnp.float32)
+                    return (u, k + 1, res)
+
+                u, k, res = jax.lax.while_loop(
+                    cond, body, (u, jnp.int32(0), jnp.float32(jnp.inf))
+                )
+                # the free residual lags one sweep; recompute the final norm
+                res_final = self._finest_res_norm(u, f_lv)
+                return self._as_plain(0, u), k, res_final
+
+            self._compiled[key] = run
+        u, k, res = self._compiled[key](u0, f)
+        return u, int(k), float(res)
