@@ -1,6 +1,5 @@
 """Inter-grid transfer operators: full-weighting restriction and bilinear
-prolongation, as pure strided-slice arithmetic (no convolution framework ops
-needed — XLA fuses these into a handful of VPU FMAs).
+prolongation.
 
 Semantics match the reference exactly:
 
@@ -12,7 +11,13 @@ Semantics match the reference exactly:
   bilinear upsample (n_c+1) -> (2*n_c+1) with align_corners=True, i.e.
   injection at coincident nodes and midpoint averaging, followed by a
   Dirichlet boundary reset of the interpolated correction.
-"""
+
+Implementation note (TPU): both operators are SEPARABLE and implemented as
+two single-axis passes.  On TPU, a single-axis strided slice costs ~1 memory
+pass, while 2-D strided slices/scatters (``x[::2, ::2]``,
+``.at[::2, ::2].set``) and 1-channel ``lax.conv_general_dilated`` lower
+catastrophically (measured 17-44 ms vs ~0.7 ms per pass at 4097^2 on v5e).
+Keep every op single-axis."""
 
 from __future__ import annotations
 
@@ -20,40 +25,45 @@ import jax
 import jax.numpy as jnp
 
 
-def restrict_full_weighting(r: jax.Array) -> jax.Array:
-    """(..., n+1, n+1) -> (..., n/2+1, n/2+1), zero boundary ring.
+def _fw_1d_last(x: jax.Array) -> jax.Array:
+    """[1, 2, 1]/4 filter + stride-2 downsample along the last axis:
+    out[..., J] = (x[..., 2J-1] + 2 x[..., 2J] + x[..., 2J+1]) / 4 for the
+    coarse-interior J = 1..n/2-1."""
+    n = x.shape[-1] - 1
+    t = (x[..., :-2] + 2.0 * x[..., 1:-1] + x[..., 2:]) * 0.25  # t[k] ~ fine col k+1
+    # fine col 2J for J=1.. -> t index 2J-1 = 1, 3, ..., n-3
+    return t[..., 1 : n - 2 : 2]
 
-    Separable [1,2,1]/4 along each axis, sampled at even fine nodes; only
-    coarse-interior outputs are computed, the coarse boundary ring is zero —
-    identical to crop + stride-2 conv + zero-pad in the reference.
-    """
-    n = r.shape[-1] - 1
-    # along last axis: out[..., J] = (r[..., 2J-1] + 2 r[..., 2J] + r[..., 2J+1]) / 4
-    rx = (r[..., 1 : n - 2 : 2] + 2.0 * r[..., 2 : n - 1 : 2] + r[..., 3:n:2]) / 4.0
-    ry = (
-        rx[..., 1 : n - 2 : 2, :] + 2.0 * rx[..., 2 : n - 1 : 2, :] + rx[..., 3:n:2, :]
-    ) / 4.0
+
+def restrict_full_weighting(r: jax.Array) -> jax.Array:
+    """(..., n+1, n+1) -> (..., n/2+1, n/2+1), zero boundary ring."""
+    out = _fw_1d_last(r)
+    out = jnp.swapaxes(_fw_1d_last(jnp.swapaxes(out, -1, -2)), -1, -2)
     pad = [(0, 0)] * (r.ndim - 2) + [(1, 1), (1, 1)]
-    return jnp.pad(ry, pad)
+    return jnp.pad(out, pad)
+
+
+def _interleave_last(a: jax.Array, b: jax.Array) -> jax.Array:
+    """out[..., 2j] = a[..., j], out[..., 2j+1] = b[..., j]; a and b have the
+    same shape (..., m) -> (..., 2m)."""
+    stacked = jnp.stack([a, b], axis=-1)  # (..., m, 2)
+    return stacked.reshape(*a.shape[:-1], 2 * a.shape[-1])
+
+
+def _up_1d_last(v: jax.Array) -> jax.Array:
+    """Align-corners linear upsample along the last axis: (..., m) ->
+    (..., 2m-1); even = injection, odd = midpoint."""
+    mid = 0.5 * (v[..., :-1] + v[..., 1:])
+    body = _interleave_last(v[..., :-1], mid)  # (..., 2m-2)
+    return jnp.concatenate([body, v[..., -1:]], axis=-1)
 
 
 def prolong_bilinear(v: jax.Array, geo_fine: jax.Array | None = None) -> jax.Array:
     """(..., m, m) -> (..., 2m-1, 2m-1) bilinear (align_corners) upsample.
-
-    Coincident nodes are injected, odd nodes are neighbour midpoints.  If
-    ``geo_fine`` is given, the result is masked by it (Dirichlet reset of the
-    interpolated correction with zero boundary values, as in the reference's
-    ``Interpolate`` -> ``reset_boundary``).
-    """
-    m = v.shape[-1]
-    out_shape = v.shape[:-2] + (2 * m - 1, 2 * m - 1)
-    out = jnp.zeros(out_shape, dtype=v.dtype)
-    out = out.at[..., ::2, ::2].set(v)
-    out = out.at[..., 1::2, ::2].set(0.5 * (v[..., :-1, :] + v[..., 1:, :]))
-    out = out.at[..., ::2, 1::2].set(0.5 * (v[..., :, :-1] + v[..., :, 1:]))
-    out = out.at[..., 1::2, 1::2].set(
-        0.25 * (v[..., :-1, :-1] + v[..., :-1, 1:] + v[..., 1:, :-1] + v[..., 1:, 1:])
-    )
+    If ``geo_fine`` is given, the result is masked by it (Dirichlet reset of
+    the interpolated correction with zero boundary values)."""
+    out = _up_1d_last(v)
+    out = jnp.swapaxes(_up_1d_last(jnp.swapaxes(out, -1, -2)), -1, -2)
     if geo_fine is not None:
         out = out * geo_fine
     return out
