@@ -82,9 +82,18 @@ def test_torch_checkpoint_import():
     # run with these params is covered by tests/test_reference_parity.py
     # (the checkpoint itself converges only slowly even in the reference's
     # own evaluator, q ~ 0.82 at n=64).
-    dev = np.abs(np.asarray(params.conv) - intergrid.FULL_WEIGHTING_16).max(axis=(1, 2))
-    assert dev.max() > 0.1  # at least one trained channel
-    assert (dev < 1e-6).sum() >= 8  # most channels frozen at init
+    # untrained channels share their init value (this run initialized R with
+    # the /4 kernel); exactly the curriculum channel deviates
+    for kernels, init_candidates in [
+        (np.asarray(params.conv), (intergrid.FULL_WEIGHTING_16, intergrid.BILINEAR_4)),
+        (np.asarray(params.deconv), (intergrid.BILINEAR_4,)),
+    ]:
+        frozen = max(
+            (np.abs(kernels - init).max(axis=(1, 2)) < 1e-6).sum()
+            for init in init_candidates
+        )
+        assert frozen >= 15, frozen
+        assert frozen < 16  # one trained channel deviates
 
 
 def test_train_step_improves_qm_twogrid():
