@@ -1,0 +1,225 @@
+"""Distributed execution: device mesh, spatial/batch sharding, distributed
+V-cycle and training step.
+
+The reference has zero distributed code (grep-verified: no torch.distributed/
+NCCL/MPI anywhere); its only parallel axis is the batch dimension.  Here the
+framework is designed mesh-first:
+
+- mesh axes ``("dp", "x", "y")``: data-parallel batch x 2D spatial grid
+  partition;
+- stencil applications are expressed as shifts/slices with sharding
+  constraints, so XLA GSPMD inserts the 1-deep halo exchanges
+  (collective-permutes over ICI) automatically — the TPU-native equivalent
+  of hand-written NCCL halo code;
+- residual norms become psums of shard-local partials (GSPMD inserts them
+  from the sharded reductions);
+- coarse multigrid levels below ``replicate_below`` nodes are replicated —
+  the agglomeration policy: once a level is smaller than a tile, every
+  device redundantly owns it and no collectives ride the coarse solve.
+
+Sharded buffers are zero-padded to mesh-divisible (and TPU-tile-aligned)
+shapes; the (n+1)^2 logical grid lives in the top-left corner.  Only padded
+shapes carry explicit sharding annotations — odd-shaped intermediates inside
+jit are propagated by GSPMD, which has no divisibility requirement for them.
+
+On a single host this is exercised with a virtual CPU mesh
+(``xla_force_host_platform_device_count``), the fake-pod pattern; the same
+program runs unchanged on a real pod slice over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multigrid_feanet_tpu.core.problem import GridHierarchy, Problem
+from multigrid_feanet_tpu.ops import stencil
+from multigrid_feanet_tpu.ops.transfer import restrict_full_weighting, prolong_bilinear
+from multigrid_feanet_tpu.solvers import jacobi as jac
+from multigrid_feanet_tpu.solvers.jacobi import DEFAULT_OMEGA
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None) -> Mesh:
+    """Factorize devices into a ("dp", "x", "y") mesh.  With no hints, uses
+    dp=1 and the most-square spatial split."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if dp is None:
+        dp = 1
+    spatial = n // dp
+    sx = int(np.sqrt(spatial))
+    while spatial % sx:
+        sx -= 1
+    sy = spatial // sx
+    arr = np.array(devices).reshape(dp, sx, sy)
+    return Mesh(arr, ("dp", "x", "y"))
+
+
+def constrain(mesh: Mesh, x: jax.Array, spec: P) -> jax.Array:
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+class DistributedHierarchy:
+    """GridHierarchy + per-level padding and sharding policy.
+
+    Levels with at least ``replicate_below`` nodes per edge are 2D
+    block-partitioned over the ("x", "y") mesh axes on zero-padded,
+    mesh-divisible buffers; smaller levels are replicated and unpadded
+    (coarse agglomeration).
+    """
+
+    def __init__(self, hier: GridHierarchy, mesh: Mesh, replicate_below: int = 257,
+                 tile: tuple = (8, 128)):
+        self.hier = hier
+        self.mesh = mesh
+        self.replicate_below = replicate_below
+        self.sx = mesh.shape["x"]
+        self.sy = mesh.shape["y"]
+        # On TPU, keep shard tiles aligned to the (8, 128) register tiling;
+        # on the CPU fake-pod any multiple works.
+        self.tr = tile[0] if jax.default_backend() == "tpu" else 1
+        self.tc = tile[1] if jax.default_backend() == "tpu" else 1
+        self.levels = []
+        self.shapes = []
+        for lv in hier.levels:
+            if self.is_sharded(lv.n):
+                Hp = _round_up(lv.n + 1, self.sx * self.tr)
+                Wp = _round_up(lv.n + 1, self.sy * self.tc)
+                spec = P("x", "y")
+                pid = None
+                if lv.pid is not None:
+                    pid = self._pad_to(lv.pid, Hp, Wp)
+                geo = self._pad_to(lv.geo, Hp, Wp)
+                diag = self._pad_to(lv.diag, Hp, Wp, fill=1.0)
+                sh = NamedSharding(mesh, spec)
+                pid = None if pid is None else jax.device_put(pid, sh)
+                lvp = lv.replace(pid=pid, geo=jax.device_put(geo, sh),
+                                 diag=jax.device_put(diag, sh))
+            else:
+                Hp = Wp = lv.n + 1
+                lvp = lv
+            self.levels.append(lvp)
+            self.shapes.append((Hp, Wp))
+
+    def is_sharded(self, n: int) -> bool:
+        return n + 1 >= self.replicate_below
+
+    @staticmethod
+    def _pad_to(x, Hp, Wp, fill=0.0):
+        H, W = x.shape
+        out = jnp.full((Hp, Wp), jnp.asarray(fill, dtype=x.dtype))
+        return out.at[:H, :W].set(x)
+
+    def spec(self, level: int, batched: bool = False) -> P:
+        s = P("x", "y") if self.is_sharded(self.hier.levels[level].n) else P(None, None)
+        return P("dp", *s) if batched else s
+
+    def pad_field(self, level: int, x: jax.Array) -> jax.Array:
+        """Logical (n+1, n+1) field -> padded level buffer (inside jit)."""
+        Hp, Wp = self.shapes[level]
+        H = self.hier.levels[level].n_nodes
+        if (Hp, Wp) == (H, H):
+            return x
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, Hp - H), (0, Wp - H)]
+        return jnp.pad(x, pad)
+
+    def unpad_field(self, level: int, x: jax.Array) -> jax.Array:
+        H = self.hier.levels[level].n_nodes
+        return x[..., :H, :H]
+
+    def _c(self, level: int, x: jax.Array) -> jax.Array:
+        return constrain(self.mesh, x, self.spec(level, batched=x.ndim == 3))
+
+    def res_norm(self, level: int, r_pad: jax.Array) -> jax.Array:
+        """Interior residual norm on a padded buffer (pad rows adjacent to
+        the logical boundary hold garbage from the stencil ghost reads, so
+        crop to the logical interior explicitly)."""
+        H = self.hier.levels[level].n_nodes
+        ri = r_pad[..., 1 : H - 1, 1 : H - 1]
+        return jnp.sqrt(jnp.sum(ri * ri, axis=(-2, -1)))
+
+    def v_cycle(self, u: jax.Array, f: jax.Array, nu1: int = 1, nu2: int = 1,
+                bc_value=0.0, omega: float = DEFAULT_OMEGA, level: int = 0) -> jax.Array:
+        """Recursive V-cycle on padded level buffers; GSPMD materializes the
+        halo exchanges for the stencil shifts and the layout changes at the
+        agglomeration boundary."""
+        lv = self.levels[level]
+        bc = bc_value if level == 0 else 0.0
+        u = self._c(level, u)
+        for _ in range(nu1):
+            u = self._c(level, jac.jacobi_step(lv, u, f, bc, omega))
+        if level < len(self.levels) - 1:
+            r = f - lv.apply(u)
+            r = self.unpad_field(level, r)
+            f_c = self.pad_field(level + 1, 4.0 * restrict_full_weighting(r))
+            f_c = self._c(level + 1, f_c)
+            u_c = jnp.zeros_like(f_c)
+            u_c = self.v_cycle(u_c, f_c, nu1, nu2, 0.0, omega, level + 1)
+            corr = prolong_bilinear(
+                self.unpad_field(level + 1, u_c),
+                self.unpad_field(level, lv.geo),
+            )
+            u = u + self._c(level, self.pad_field(level, corr))
+        for _ in range(nu2):
+            u = self._c(level, jac.jacobi_step(lv, u, f, bc, omega))
+        return u
+
+    def solve(self, f: jax.Array, u0: jax.Array | None = None, nu1: int = 1, nu2: int = 1,
+              eps: float = 1e-6, max_cycles: int = 100):
+        """Whole-solve jit: while_loop of distributed V-cycles, one dispatch.
+        ``f`` is the logical mass-convolved RHS."""
+        H = self.hier.finest.n_nodes
+        if u0 is None:
+            u0 = jnp.zeros((H, H), dtype=f.dtype)
+
+        @jax.jit
+        def run(u, f):
+            u = self._c(0, self.pad_field(0, u))
+            f = self._c(0, self.pad_field(0, f))
+
+            def cond(c):
+                u, k, res = c
+                return (res > eps) & (k < max_cycles)
+
+            def body(c):
+                u, k, res = c
+                u = self.v_cycle(u, f, nu1, nu2)
+                r = f - self.levels[0].apply(u)
+                return (u, k + 1, self.res_norm(0, r).astype(jnp.float32))
+
+            u, k, res = jax.lax.while_loop(
+                cond, body, (u, jnp.int32(0), jnp.float32(jnp.inf))
+            )
+            return self.unpad_field(0, u), k, res
+
+        u, k, res = run(u0, f)
+        return u, int(k), float(res)
+
+
+# ---- sharded training steps (dp over batch + spatial sharding) ----
+
+
+def sharded_hnet_train_step(mesh: Mesh):
+    """Returns a jitted H-Net training step whose batch is dp-sharded (fields
+    replicated spatially — training grids are small); gradients are psum'd by
+    GSPMD from the sharded loss reduction."""
+    from multigrid_feanet_tpu.learn import train_hnet
+
+    def step(level, state, u_star, f, bc_value, bc_index):
+        spec = P("dp", None, None)
+        u_star = constrain(mesh, u_star, spec)
+        f = constrain(mesh, f, spec)
+        bc_value = constrain(mesh, bc_value, spec)
+        return train_hnet.train_step(level, state, u_star, f, bc_value, bc_index)
+
+    return step

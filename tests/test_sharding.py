@@ -1,0 +1,77 @@
+"""Distributed execution on the virtual 8-device CPU mesh (fake-pod)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from multigrid_feanet_tpu.core.problem import Problem, GridHierarchy
+from multigrid_feanet_tpu.ops import stencil
+from multigrid_feanet_tpu.parallel import sharding
+from multigrid_feanet_tpu.solvers import multigrid
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def test_mesh_factorization():
+    mesh = sharding.make_mesh(8)
+    assert mesh.devices.shape == (1, 2, 4) or mesh.devices.shape == (1, 4, 2)
+    mesh2 = sharding.make_mesh(8, dp=2)
+    assert mesh2.devices.shape == (2, 2, 2)
+    assert mesh.axis_names == ("dp", "x", "y")
+
+
+def test_sharded_apply_matches_single_device():
+    n = 64
+    problem = Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5), dtype=jnp.float32)
+    hier = GridHierarchy.create(problem)
+    mesh = sharding.make_mesh(8)
+    dh = sharding.DistributedHierarchy(hier, mesh, replicate_below=17)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((n + 1, n + 1)), dtype=jnp.float32)
+
+    @jax.jit
+    def sharded_apply(u):
+        up = dh._c(0, dh.pad_field(0, u))
+        return dh.unpad_field(0, dh.levels[0].apply(up))
+
+    out = np.asarray(sharded_apply(u))
+    ref = np.asarray(hier.finest.apply(u))
+    # pad-adjacent boundary rows read ghost zeros vs nothing — interior only
+    np.testing.assert_allclose(out[1:-1, 1:-1], ref[1:-1, 1:-1], rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_vcycle_solve_matches_single_device():
+    n = 64
+    problem = Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5), dtype=jnp.float32)
+    hier = GridHierarchy.create(problem)
+    mesh = sharding.make_mesh(8)
+    dh = sharding.DistributedHierarchy(hier, mesh, replicate_below=33)
+    f = stencil.apply_mass(jnp.ones((n + 1, n + 1), dtype=jnp.float32), hier.finest.h)
+    u_ref, hist_ref = multigrid.solve(hier, f, nu1=1, nu2=1, eps=5e-5)
+    u, k, res = dh.solve(f, nu1=1, nu2=1, eps=5e-5)
+    assert k == len(hist_ref)
+    assert res <= 5e-5
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_hnet_train_step_runs():
+    from multigrid_feanet_tpu.learn import train_hnet
+
+    n = 32
+    hier = GridHierarchy.create(Problem(n=n, dtype=jnp.float32), num_levels=1)
+    mesh = sharding.make_mesh(8, dp=2)
+    step = sharding.sharded_hnet_train_step(mesh)
+    state = train_hnet.init_state(hier.finest, seed=0)
+    rng = np.random.default_rng(1)
+    B = 4
+    u_star = jnp.asarray(rng.standard_normal((B, n + 1, n + 1)), dtype=jnp.float32)
+    f = jnp.asarray(rng.standard_normal((B, n + 1, n + 1)), dtype=jnp.float32)
+    bc_value = jnp.zeros((B, n + 1, n + 1), dtype=jnp.float32)
+    bc_index = jnp.ones((B, n + 1, n + 1), dtype=jnp.float32)
+    state2, loss = step(hier.finest, state, u_star, f, bc_value, bc_index)
+    assert np.isfinite(float(loss))
+    # a second step with the new state also runs (shapes/shardings stable)
+    state3, loss2 = step(hier.finest, state2, u_star, f, bc_value, bc_index)
+    assert np.isfinite(float(loss2))
