@@ -1,0 +1,117 @@
+"""Experiment: Jacobi vs H-Jacobi vs MG(Jacobi) vs MG(H-Jacobi) on the
+IsoPoisson dataset — the reference's headline comparison
+(M-FEANet-mg_test.ipynb cells 9, 10, 21, 22, 24; BASELINE.md:
+24,367 / 2,246 Jacobi/H-Jacobi iterations and 9 / 5 V-cycles at n=128).
+
+The reference's 129x129 dataset file is gitignored upstream; it is
+regenerated here with the FEM oracle (same protocol).  The trained H-Net is
+imported from the reference checkpoint (trained at 33x33, applied at any n —
+it is a stationary conv stack).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+from multigrid_feanet_tpu.core.problem import Problem, GridHierarchy
+from multigrid_feanet_tpu.data import datasets
+from multigrid_feanet_tpu.models import hnet
+from multigrid_feanet_tpu.ops import stencil
+from multigrid_feanet_tpu.solvers import jacobi, multigrid
+
+REF_HNET = "/root/reference/Model/learn_iterator/iso_poisson/iso_poisson_33x33.pth"
+
+
+def hjacobi_solve(lv, params, f, bc_value, eps, max_iters=50_000):
+    u = jnp.zeros_like(f)
+    hist = []
+    res = np.inf
+    while res > eps and len(hist) < max_iters:
+        u = hnet.h_relax(lv, params, u, f, 1, bc_value)
+        res = float(jacobi.interior_norm(f - lv.apply(u)))
+        hist.append(res)
+        if not np.isfinite(res):
+            break
+    return u, np.asarray(hist)
+
+
+def mg_solve(hier, params, f, bc_value, eps, mode="jac", max_cycles=100):
+    """V-cycle whose smoother is Jacobi or H-Jacobi (reference mg_test cell
+    19 MultiGrid: 1-channel classical transfers, smoother switchable)."""
+    from multigrid_feanet_tpu.ops.transfer import restrict_full_weighting, prolong_bilinear
+
+    def relax1(level, u, ff, bc):
+        if mode == "hjac":
+            return hnet.h_relax(hier.levels[level], params, u, ff, 1, bc)
+        return jacobi.jacobi_step(hier.levels[level], u, ff, bc)
+
+    def cycle(level, u, ff):
+        bc = bc_value if level == 0 else 0.0
+        u = relax1(level, u, ff, bc)
+        if level < hier.num_levels - 1:
+            r = ff - hier.levels[level].apply(u)
+            f_c = 4.0 * restrict_full_weighting(r)
+            u_c = cycle(level + 1, jnp.zeros_like(f_c), f_c)
+            u = u + prolong_bilinear(u_c, hier.levels[level].geo)
+        return relax1(level, u, ff, bc)
+
+    u = jnp.zeros_like(f)
+    hist = []
+    res = np.inf
+    while res > eps and len(hist) < max_cycles:
+        u = cycle(0, u, f)
+        res = float(jacobi.interior_norm(f - hier.finest.apply(u)))
+        hist.append(res)
+        if not np.isfinite(res):
+            break
+    return u, np.asarray(hist)
+
+
+def main(n=128, eps=5e-5, sample=0):
+    os.makedirs("results", exist_ok=True)
+    cache = f"results/isopoisson_{n + 1}x{n + 1}.h5"
+    if os.path.exists(cache):
+        ds = datasets.IsoPoissonDataset.from_h5(cache)
+    else:
+        print(f"generating {n + 1}x{n + 1} IsoPoisson dataset (FEM oracle)...")
+        ds = datasets.generate_isopoisson(n, num_samples=4, seed=7)
+        datasets.save_isopoisson(ds, cache)
+    u_star, f_raw, bc_value, bc_index = ds[sample]
+
+    hier = GridHierarchy.create(Problem(n=n))
+    lv = hier.finest
+    f = stencil.apply_mass(jnp.asarray(f_raw), lv.h)
+    bc = jnp.asarray(bc_value)
+    params = hnet.import_torch_checkpoint(REF_HNET)
+
+    out = {}
+    t0 = time.time()
+    _, hist = jacobi.solve_jacobi(lv, f, bc_value=bc, eps=eps, max_iters=60_000)
+    out["jacobi"] = {"iters": len(hist), "seconds": time.time() - t0}
+    t0 = time.time()
+    _, hist = hjacobi_solve(lv, params, f, bc, eps)
+    out["hjacobi"] = {"iters": len(hist), "seconds": time.time() - t0}
+    for mode in ("jac", "hjac"):
+        t0 = time.time()
+        _, hist = mg_solve(hier, params, f, bc, eps, mode=mode)
+        out[f"mg_{mode}"] = {
+            "cycles": len(hist),
+            "q": float(hist[-1] / hist[-2]) if len(hist) > 1 else None,
+            "seconds": time.time() - t0,
+        }
+    print(json.dumps(out, indent=2))
+    with open("results/mg_test.json", "w") as fh:
+        json.dump(out, fh, indent=2)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -106,15 +106,19 @@ class TestPoissonDataset:
 
     @classmethod
     def from_h5(cls, path: str) -> "TestPoissonDataset":
+        def _sq(x):
+            a = np.array(x, dtype=np.float64)
+            return a[..., 0] if a.ndim == 4 else a  # drop trailing channel dim
+
         with h5py.File(path, "r") as h5:
             return cls(
-                dirich_idx=np.array(h5["dirich_idx"], dtype=np.float64),
-                dirich_value=np.array(h5["dirich_value"], dtype=np.float64),
-                neumann_idx=np.array(h5["neumann_idx"], dtype=np.float64),
-                neumann_value=np.array(h5["neumann_value"], dtype=np.float64),
-                material=np.array(h5["material"], dtype=np.float64),
-                source=np.array(h5["source"], dtype=np.float64),
-                solution=np.array(h5["solution"], dtype=np.float64),
+                dirich_idx=_sq(h5["dirich_idx"]),
+                dirich_value=_sq(h5["dirich_value"]),
+                neumann_idx=_sq(h5["neumann_idx"]),
+                neumann_value=_sq(h5["neumann_value"]),
+                material=_sq(h5["material"]),
+                source=_sq(h5["source"]),
+                solution=_sq(h5["solution"]),
             )
 
     def __len__(self):
