@@ -113,3 +113,54 @@ def solve_dirichlet(n: int, f: np.ndarray, bc_value: np.ndarray | float = 0.0,
     u[bids] = ub[bids]
     u[iids] = ui
     return u.reshape(n_nodes, n_nodes)
+
+
+# ---- vector (elasticity) assembly: plane stress / plane strain ----
+
+
+def assemble_elastic(n: int, E: float = 1.0, nu: float = 0.3, size: float = 2.0,
+                     phase: np.ndarray | None = None, coefficients=(1.0, 1.0),
+                     plane: str = "stress"):
+    """Dense (2N, 2N) plane-stress/strain stiffness, DOFs (ux, uy) interleaved
+    node-major (row-major nodes).  Oracle for ops/elasticity.py; mirrors the
+    reference's MATLAB elasticity ground truths
+    (Archive/FEM/matlab_elasticity/Plane_Stress_modify.m)."""
+    from multigrid_feanet_tpu.ops.elasticity import element_stiffness_elastic
+
+    h = size / n
+    n_nodes = n + 1
+    N = n_nodes * n_nodes
+    K = np.zeros((2 * N, 2 * N))
+    ke = element_stiffness_elastic(E, nu, h, plane)
+    for r in range(n):
+        for c in range(n):
+            scale = coefficients[int(phase[r, c])] if phase is not None else coefficients[0]
+            nodes = _element_nodes(r, c, n_nodes)
+            dofs = np.empty(8, dtype=int)
+            dofs[0::2] = 2 * nodes
+            dofs[1::2] = 2 * nodes + 1
+            K[np.ix_(dofs, dofs)] += scale * ke
+    return K
+
+
+def solve_dirichlet_elastic(n: int, f: np.ndarray, E: float = 1.0, nu: float = 0.3,
+                            size: float = 2.0, phase: np.ndarray | None = None,
+                            coefficients=(1.0, 1.0), plane: str = "stress") -> np.ndarray:
+    """Direct solve with zero Dirichlet displacement on the boundary ring.
+
+    ``f``: (2, n+1, n+1) nodal body-force field.  The load vector uses the
+    scalar consistent mass per component.  Returns (2, n+1, n+1) u.
+    """
+    K = assemble_elastic(n, E, nu, size, phase, coefficients, plane)
+    _, M = assemble(n, size)
+    n_nodes = n + 1
+    N = n_nodes * n_nodes
+    load = np.zeros(2 * N)
+    load[0::2] = M @ np.asarray(f[0], dtype=np.float64).reshape(-1)
+    load[1::2] = M @ np.asarray(f[1], dtype=np.float64).reshape(-1)
+    bids, iids = boundary_interior_ids(n)
+    free = np.concatenate([2 * iids, 2 * iids + 1])
+    free.sort()
+    u = np.zeros(2 * N)
+    u[free] = np.linalg.solve(K[np.ix_(free, free)], load[free])
+    return np.stack([u[0::2].reshape(n_nodes, n_nodes), u[1::2].reshape(n_nodes, n_nodes)])

@@ -1,0 +1,165 @@
+"""Vector-valued (2-DOF/node) elasticity stencils: plane stress / plane
+strain Q1 elements as spatially-varying 3x3 blocks of 2x2 couplings.
+
+This extends the FEA-Net stencil representation to the reference's
+"material response" family (reference oracles:
+Archive/FEM/matlab_elasticity/Plane_Stress_modify.m:11-12 — E = 212e3,
+nu = 0.288 plane stress — and solve_plane_strain.m).  The same 16-pattern
+bi-material logic as the scalar Laplace operator applies, with per-element
+scale factors multiplying the element stiffness (e.g. a stiff inclusion):
+
+    table[pid]: (3, 3, 2, 2) — tap (dr, dc) couples displacement components
+    (out_c, in_c) of a node to its (dr, dc) neighbour.
+
+Application is a 36-tap FMA (2 out x 9 taps x 2 in); the weighted-Jacobi
+smoother inverts the 2x2 diagonal blocks per node in closed form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multigrid_feanet_tpu.ops import stencil as scalar_stencil
+
+_GAUSS = 1.0 / np.sqrt(3.0)
+_QPTS = [(-_GAUSS, -_GAUSS), (_GAUSS, -_GAUSS), (_GAUSS, _GAUSS), (-_GAUSS, _GAUSS)]
+
+
+def elasticity_d_matrix(E: float, nu: float, plane: str = "stress") -> np.ndarray:
+    if plane == "stress":
+        c = E / (1.0 - nu * nu)
+        return c * np.array([[1.0, nu, 0.0], [nu, 1.0, 0.0], [0.0, 0.0, (1.0 - nu) / 2.0]])
+    if plane == "strain":
+        c = E / ((1.0 + nu) * (1.0 - 2.0 * nu))
+        return c * np.array(
+            [[1.0 - nu, nu, 0.0], [nu, 1.0 - nu, 0.0], [0.0, 0.0, (1.0 - 2.0 * nu) / 2.0]]
+        )
+    raise ValueError(plane)
+
+
+def element_stiffness_elastic(E: float, nu: float, h: float, plane: str = "stress") -> np.ndarray:
+    """8x8 Q1 element stiffness (local nodes CCW from lower-left, DOFs
+    (ux, uy) interleaved), 2x2 Gauss quadrature on an h x h square."""
+    D = elasticity_d_matrix(E, nu, plane)
+    ke = np.zeros((8, 8))
+    for (xi, eta) in _QPTS:
+        dN_dxi = 0.25 * np.array([-(1 - eta), (1 - eta), (1 + eta), -(1 + eta)])
+        dN_deta = 0.25 * np.array([-(1 - xi), -(1 + xi), (1 + xi), (1 - xi)])
+        dN_dx = dN_dxi * (2.0 / h)
+        dN_dy = dN_deta * (2.0 / h)
+        B = np.zeros((3, 8))
+        for a in range(4):
+            B[0, 2 * a] = dN_dx[a]
+            B[1, 2 * a + 1] = dN_dy[a]
+            B[2, 2 * a] = dN_dy[a]
+            B[2, 2 * a + 1] = dN_dx[a]
+        ke += B.T @ D @ B * (h / 2.0) ** 2
+    return ke
+
+
+def make_elastic_stencil_table(E: float, nu: float, h: float, coefficients=(1.0, 1.0),
+                               plane: str = "stress", dtype=jnp.float32) -> jax.Array:
+    """(16, 3, 3, 2, 2) bi-material block-stencil table.  ``coefficients``
+    scale the element stiffness per phase (stiffness-ratio inclusions)."""
+    ke = element_stiffness_elastic(E, nu, h, plane)
+    a = np.asarray(coefficients, dtype=np.float64)
+    table = np.zeros((16, 3, 3, 2, 2))
+    # elements around the center node, pid bit order (SW, SE, NW, NE) as in
+    # ops/stencil.py; local CCW node maps per element offset
+    elem_offsets = ((-1, -1), (-1, 0), (0, -1), (0, 0))
+    for pid in range(16):
+        bits = [(pid >> k) & 1 for k in range(4)]
+        for (dr, dc), bit in zip(elem_offsets, bits):
+            loc = {
+                (dr, dc): 0,
+                (dr, dc + 1): 1,
+                (dr + 1, dc + 1): 2,
+                (dr + 1, dc): 3,
+            }
+            lp = loc[(0, 0)]
+            for (qi, qj), lq in loc.items():
+                blk = ke[2 * lp : 2 * lp + 2, 2 * lq : 2 * lq + 2]
+                table[pid, qi + 1, qj + 1] += a[bit] * blk
+    return jnp.asarray(table, dtype=dtype)
+
+
+def pattern_block_table(table: jax.Array, pid: jax.Array | None):
+    """Gather (H, W, 3, 3, 2, 2) per-node blocks (or broadcast pattern 0)."""
+    if pid is None:
+        return table[0]
+    flat = table.reshape(table.shape[0], -1)
+    return jnp.take(flat, pid.astype(jnp.int32), axis=0).reshape(*pid.shape, 3, 3, 2, 2)
+
+
+def apply_elastic_stencil(table: jax.Array, pid: jax.Array | None, u: jax.Array) -> jax.Array:
+    """A @ u for displacement fields u: (..., 2, H, W) -> (..., 2, H, W).
+
+    Bitplane-free general form: 36 shifted FMAs with per-node gathered
+    blocks when ``pid`` is given, constant blocks otherwise.
+    """
+    H, W = u.shape[-2:]
+    up = jnp.pad(u, [(0, 0)] * (u.ndim - 2) + [(1, 1), (1, 1)])
+    if pid is None:
+        coeff = None
+    else:
+        coeff = pattern_block_table(table, pid)  # (H, W, 3, 3, 2, 2)
+    out = jnp.zeros_like(u)
+    for dr in range(3):
+        for dc in range(3):
+            shifted = up[..., dr : dr + H, dc : dc + W]  # (..., 2, H, W)
+            for oc in range(2):
+                for ic in range(2):
+                    if pid is None:
+                        # table: (16, 3, 3, 2, 2) -> pattern 0, or already (3, 3, 2, 2)
+                        w = table[0, dr, dc, oc, ic] if table.ndim == 5 else table[dr, dc, oc, ic]
+                        term = w * shifted[..., ic, :, :]
+                    else:
+                        term = coeff[..., dr, dc, oc, ic] * shifted[..., ic, :, :]
+                    out = out.at[..., oc, :, :].add(term)
+    return out
+
+
+def block_diagonal(table: jax.Array, pid: jax.Array | None, shape=None) -> jax.Array:
+    """Per-node 2x2 diagonal blocks D_ii: (..., H, W, 2, 2)."""
+    if pid is None:
+        assert shape is not None
+        blk = table[0, 1, 1] if table.ndim == 5 else table[1, 1]
+        return jnp.broadcast_to(blk, (*shape, 2, 2))
+    return pattern_block_table(table, pid)[..., 1, 1, :, :]
+
+
+def invert_2x2(blocks: jax.Array) -> jax.Array:
+    """Closed-form inverse of (..., 2, 2) blocks."""
+    a = blocks[..., 0, 0]
+    b = blocks[..., 0, 1]
+    c = blocks[..., 1, 0]
+    d = blocks[..., 1, 1]
+    det = a * d - b * c
+    inv = jnp.stack(
+        [jnp.stack([d, -b], axis=-1), jnp.stack([-c, a], axis=-1)], axis=-2
+    )
+    return inv / det[..., None, None]
+
+
+def jacobi_step_elastic(table: jax.Array, pid: jax.Array | None, dinv: jax.Array,
+                        geo: jax.Array, u: jax.Array, f: jax.Array, bc_value=0.0,
+                        omega: float = 2.0 / 3.0) -> jax.Array:
+    """Block-Jacobi sweep: u <- reset(u + omega * Dinv (f - A u)).
+
+    ``dinv``: precomputed (H, W, 2, 2) inverse diagonal blocks; ``geo``:
+    (H, W) interior mask applied to both components.
+    """
+    u = u * geo[..., None, :, :] + bc_value
+    r = f - apply_elastic_stencil(table, pid, u)  # (..., 2, H, W)
+    # Dinv @ r per node: (H, W, 2, 2) x (..., 2, H, W)
+    rr = jnp.moveaxis(r, -3, -1)  # (..., H, W, 2)
+    upd = jnp.einsum("...hwij,...hwj->...hwi", dinv, rr)
+    u = u + omega * jnp.moveaxis(upd, -1, -3)
+    return u * geo[..., None, :, :] + bc_value
+
+
+def elastic_interior_norm(r: jax.Array) -> jax.Array:
+    ri = r[..., 1:-1, 1:-1]
+    return jnp.sqrt(jnp.sum(ri * ri, axis=(-3, -2, -1)))
