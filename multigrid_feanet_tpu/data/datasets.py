@@ -192,3 +192,25 @@ def save_rhs(path: str, train: np.ndarray, test: np.ndarray) -> None:
     with h5py.File(path, "w") as h5:
         h5["train"] = train
         h5["test"] = test
+
+
+def generate_isopoisson_pbc(n: int, num_samples: int, seed: int = 0) -> IsoPoissonPBCDataset:
+    """Recreate the periodic RHS dataset (the reference's missing
+    poisson2d_*_pbc.h5: stores f fields only, Data/dataset.py:53-69).
+    Fields are (n+1)^2 wrapped GRFs (periodic by construction on the torus).
+    """
+    key = jax.random.PRNGKey(seed)
+    fs = []
+    for i in range(num_samples):
+        k = jax.random.fold_in(key, i)
+        f_unique = rhs.gaussian_random_field(k, n, alpha=4.0)
+        wrapped = np.asarray(
+            jnp.pad(f_unique, ((0, 1), (0, 1)), mode="wrap"), dtype=np.float32
+        )
+        fs.append(wrapped)
+    return IsoPoissonPBCDataset(f=np.stack(fs))
+
+
+def save_isopoisson_pbc(ds: IsoPoissonPBCDataset, path: str) -> None:
+    with h5py.File(path, "w") as h5:
+        h5["rhs"] = ds.f

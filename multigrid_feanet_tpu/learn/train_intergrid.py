@@ -126,3 +126,37 @@ def train(hier: GridHierarchy, rhs_dataset, *, num_epochs: int = 300, batch_size
         if verbose and epoch % log_every == 0:
             print(f"epoch {epoch}: q_m {losses[-1]:.5f}")
     return state.params, np.asarray(losses)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "m0", "n_relax", "lr"), donate_argnums=(1,)
+)
+def train_step_error_decay(hier: GridHierarchy, state: TrainState, batch_shape_key, *,
+                           m: int = 10, m0: int = 5, n_relax: int = 1, lr: float = 1e-3):
+    """f = 0 error-decay training (the reference's TwoGrid precursor:
+    Archive/.../MM-FEANet-homo_kernel_twogrid.ipynb cells 3-8 — random u
+    init, m_iter=10, m_0=5, qm loss, Adam(1e-3); no RHS data needed).
+    ``batch_shape_key``: (N, H, W) array used only for shape/dtype."""
+    key, k_v = jax.random.split(state.key)
+    f = jnp.zeros_like(batch_shape_key)
+    v0 = jax.random.normal(k_v, batch_shape_key.shape, batch_shape_key.dtype)
+    tx = make_optimizer(lr)
+
+    def loss_fn(params):
+        u = v0
+        u_m0 = v0
+        for i in range(m - 1):
+            u = jax.lax.stop_gradient(
+                intergrid.learned_v_cycle(hier, params, u, f, n_relax)
+            )
+            if i == m0 - 1:
+                u_m0 = u
+        u_final = intergrid.learned_v_cycle(hier, params, u, f, n_relax)
+        return intergrid.qm_loss(hier, u_final, u_m0, f, m, m0)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    mask = _grad_mask(state.params, None)
+    grads = jax.tree.map(lambda g, mk: g * mk, grads, mask)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, key), loss
