@@ -7,8 +7,9 @@ Design (see /opt/skills/guides/pallas_guide.md):
   stays in HBM and each step manually DMAs its (BR+2, W) halo slice into a
   double-buffered VMEM scratch (the +-1 row halo overlaps block boundaries,
   which BlockSpecs cannot express).
-- Column neighbours are realized with lane rolls of the in-VMEM tile; the
-  wrap-around columns land only in masked (boundary / padding) lanes.
+- Column neighbours are realized with two whole-tile lane rolls shared
+  across all taps; the wrap-around columns land only in masked
+  (boundary / padding) lanes.
 - The bi-material operator is evaluated in *bitplane form*: the per-node
   3x3 stencil is affine in the 4 surrounding element-phase bits,
 
@@ -68,24 +69,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _shift(tile, dr: int, dc: int, rows: int):
-    """tile: (rows+16, Wp) rows with the block's data at local rows 8..8+rows
-    (7-row aligned DMA lead-in + 1 halo row above, 1 halo + 7 slack below);
-    returns the (rows, Wp) view holding u[i+dr, j+dc] at local (i, j).  Row
-    halo is explicit; column shift is a lane roll (wrap lands in masked
-    lanes only)."""
-    x = tile[8 + dr : 8 + dr + rows, :]
-    if dc == 0:
-        return x
-    # want out[j] = x[j + dc]  ->  circular roll by -dc (non-negative form)
-    return pltpu.roll(x, (-dc) % x.shape[1], 1)
+def _shifted_views(tile, rows: int):
+    """tile: (rows+16, Wp) with the block's data at local rows 8..8+rows.
+    Returns views[(dr, dc)] -> (rows, Wp) holding u[i+dr, j+dc] at local
+    (i, j).  Row halo is explicit sublane slicing; the column neighbours come
+    from just TWO whole-tile lane rolls (wrap lands in masked lanes only),
+    shared across all row offsets."""
+    Wp = tile.shape[1]
+    # out[j] = x[j + dc]: roll by (-dc) mod Wp
+    rolled = {0: tile, 1: pltpu.roll(tile, Wp - 1, 1), -1: pltpu.roll(tile, 1, 1)}
+    views = {}
+    for dc in (-1, 0, 1):
+        for dr in (-1, 0, 1):
+            views[(dr, dc)] = rolled[dc][8 + dr : 8 + dr + rows, :]
+    return views
 
 
 def _apply_taps(tile, pid_blk, rows: int, a0: float, da: float, bimaterial: bool):
-    """A u for one block. tile: (rows+2, Wp) f32; pid_blk: (rows, Wp) int."""
+    """A u for one block. tile: (rows+16, Wp) f32; pid_blk: (rows, Wp) int."""
+    v = _shifted_views(tile, rows)
     acc = None
     for (dr, dc), w in _S9.items():
-        term = (a0 * w) * _shift(tile, dr, dc, rows)
+        term = (a0 * w) * v[(dr, dc)]
         acc = term if acc is None else acc + term
     if bimaterial:
         p = pid_blk.astype(jnp.int32)
@@ -93,7 +98,7 @@ def _apply_taps(tile, pid_blk, rows: int, a0: float, da: float, bimaterial: bool
             bit = ((p >> e) & 1).astype(tile.dtype)
             t4 = None
             for (dr, dc), w in taps.items():
-                term = w * _shift(tile, dr, dc, rows)
+                term = w * v[(dr, dc)]
                 t4 = term if t4 is None else t4 + term
             acc = acc + (da * bit) * t4
     return acc
@@ -141,7 +146,7 @@ def _sweep_kernel(u_hbm, f_ref, pid_ref, u_out, rsq_ref, scratch, sems, *,
         dma(i + 1, (i + 1) % 2).start()
 
     dma(i, i % 2).wait()
-    tile = scratch[i % 2]  # (rows+2, Wp)
+    tile = scratch[i % 2]  # (rows+16, Wp), data at local rows 8..8+rows
 
     pid_blk = pid_ref[...] if bimaterial else None
     au = _apply_taps(tile, pid_blk, rows, a0, da, bimaterial)
@@ -158,15 +163,16 @@ def _sweep_kernel(u_hbm, f_ref, pid_ref, u_out, rsq_ref, scratch, sems, *,
 
 
 def _pick_rows(H: int, Wp: int, vmem_budget: int = 12 * 2 ** 20) -> int:
-    """Row-block size: multiple of 32 (int8 sublane tiling).
+    """Row-block size: multiple of 32 (int8 sublane tiling), rounded DOWN so
+    the VMEM estimate is an upper bound.
 
     VMEM per block-row: 26 B/node of double-buffered tiles (2x f32 scratch,
-    f, out; 2x int8 pid) plus roughly as much again in Mosaic vector-stack
-    intermediates for the 25-tap bitplane evaluation — budget ~52 B/node
-    against the 16 MB scoped-VMEM limit.
+    f, out; 2x int8 pid), two whole-tile rolled copies (8 B/node), and
+    Mosaic vector-stack intermediates for the 25-tap bitplane evaluation —
+    budget ~68 B/node against the 16 MB scoped-VMEM limit.
     """
-    target = max(32, vmem_budget // (52 * Wp))
-    return _round_up(min(target, H), 32)
+    target = vmem_budget // (68 * Wp)  # incl. 2 whole-tile rolled copies
+    return max(32, (min(target, H + 16) // 32) * 32)
 
 
 @functools.partial(
@@ -214,6 +220,9 @@ def _run(u_pad, f_pad, pid_pad, *, H, W, a0, da, omega, mode, interpret, rows):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        # NOTE: raising CompilerParams.vmem_limit_bytes above the default
+        # 16 MB lets bigger blocks compile but measurably SLOWS the kernel
+        # (~523 -> ~690 us at 4097^2) — keep the default and small blocks.
         cost_estimate=pl.CostEstimate(
             flops=(50 if bimaterial else 18) * Hp * Wp,
             bytes_accessed=(13 if bimaterial else 12) * Hp * Wp,
