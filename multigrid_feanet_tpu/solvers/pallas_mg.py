@@ -221,3 +221,60 @@ class PallasHierarchy:
             self._compiled[key] = run
         u, k, res = self._compiled[key](u0, f)
         return u, int(k), float(res)
+
+
+def solve_ir(ph: PallasHierarchy, f, u0=None, bc_value=None, nu1: int = 1, nu2: int = 1,
+             eps: float = 1e-6, cycles_per_correction: int = 4, max_outer: int = 20):
+    """Mixed-precision iterative refinement to absolute residual ``eps``.
+
+    Single-precision V-cycles stall at the f32 rounding floor
+    (~1e-4 absolute at 4097^2 with O(0.1) solutions).  Classic IR breaks
+    the floor: keep u in f64, compute r = f - A u in f64 (TPU-emulated f64
+    is bandwidth-ish and runs once per outer iteration), solve the
+    correction equation A e = r with a few f32 V-cycles (zero BC), and
+    accumulate u += e in f64.  Requires jax x64 to be enabled.
+
+    Returns (u_f64, outer_history) — history entries are f64 interior
+    residual norms after each correction.
+    """
+    import jax.numpy as jnp
+    from multigrid_feanet_tpu.core.problem import Problem, GridHierarchy, build_level
+
+    lv32 = ph.hier.finest
+    H = lv32.n_nodes
+    # f64 twin of the finest operator for residual evaluation
+    problem64 = Problem(
+        n=lv32.n, size=lv32.h * lv32.n,
+        coefficients=(lv32.a0, lv32.a1) if lv32.a0 is not None else (1.0, 1.0),
+        inclusion=None if lv32.pid is None else (lambda _n: None),
+        dtype=jnp.float64,
+    )
+    if lv32.pid is None:
+        lv64 = build_level(problem64, lv32.n)
+    else:
+        lv64 = lv32.replace(
+            table=lv32.table.astype(jnp.float64),
+            diag=lv32.diag.astype(jnp.float64),
+            geo=lv32.geo.astype(jnp.float64),
+        )
+    f64 = jnp.asarray(f, dtype=jnp.float64)
+    u = jnp.zeros((H, H), jnp.float64) if u0 is None else jnp.asarray(u0, jnp.float64)
+    if bc_value is not None:
+        u = reset_boundary(u, lv64.geo, jnp.asarray(bc_value, jnp.float64))
+
+    @jax.jit
+    def residual64(u):
+        r = f64 - lv64.apply(u)
+        return r, jac.interior_norm(r)
+
+    history = []
+    for _ in range(max_outer):
+        r, rn = residual64(u)
+        history.append(float(rn))
+        if history[-1] <= eps:
+            break
+        # correction solve in f32 with zero Dirichlet data
+        e32, _ = ph.solve(r.astype(jnp.float32), nu1=nu1, nu2=nu2,
+                          eps=0.0, max_cycles=cycles_per_correction)
+        u = u + jnp.asarray(e32, jnp.float64) * jnp.asarray(lv64.geo)
+    return u, np.asarray(history)

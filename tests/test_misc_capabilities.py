@@ -101,3 +101,64 @@ def test_distributed_solve_deterministic():
     u2, k2, r2 = dh.solve(f, eps=1e-5)
     assert k1 == k2 and r1 == r2
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+
+
+def test_rect_inclusion_variant():
+    """MM_InterfaceRect_error variant: square inclusion (mesh.py place_rect);
+    solver converges and matches the FEM oracle."""
+    from multigrid_feanet_tpu.core import geometry
+    from multigrid_feanet_tpu.data import fem
+    from multigrid_feanet_tpu.solvers import multigrid
+
+    n = 32
+    hier = GridHierarchy.create(
+        Problem(n=n, inclusion=("rect", (0.0, 0.0), 0.5), dtype=jnp.float64)
+    )
+    f_raw = np.ones((n + 1, n + 1))
+    f = stencil.apply_mass(jnp.asarray(f_raw), hier.finest.h)
+    u, hist = multigrid.solve(hier, f, nu1=2, nu2=2, eps=1e-11, max_cycles=200)
+    phase = geometry.rect_phase(2.0, n)
+    u_ref = fem.solve_dirichlet(n, f_raw, phase=phase)
+    np.testing.assert_allclose(np.asarray(u), u_ref, atol=1e-9)
+
+
+def test_plot_utils_smoke(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from multigrid_feanet_tpu.core import geometry
+    from multigrid_feanet_tpu.utils import plot as plot_utils
+
+    n = 8
+    u = np.random.default_rng(0).standard_normal((n + 1, n + 1))
+    pid = stencil.pattern_ids(jnp.asarray(geometry.circle_phase(2.0, n)))
+    plot_utils.plot_field(u, fname=str(tmp_path / "f.png"))
+    plot_utils.plot_pattern(np.asarray(pid), key=0, fname=str(tmp_path / "p.png"))
+    plot_utils.plot_residual_history({"jac": [1.0, 0.5, 0.1]}, fname=str(tmp_path / "h.png"))
+    assert (tmp_path / "f.png").exists()
+
+
+def test_batched_solvers_vmap():
+    """The reference's batch axis (N,1,H,W): our XLA ops broadcast over
+    leading dims, and whole solves vmap."""
+    n = 16
+    hier = GridHierarchy.create(Problem(n=n, dtype=jnp.float32))
+    lv = hier.finest
+    rng = np.random.default_rng(5)
+    F = jnp.asarray(rng.standard_normal((3, n + 1, n + 1)), dtype=jnp.float32)
+    f = stencil.apply_mass(F, lv.h)
+
+    from multigrid_feanet_tpu.solvers import multigrid
+
+    def one_cycle(fi):
+        u = jnp.zeros_like(fi)
+        for _ in range(12):
+            u = multigrid.v_cycle(hier, u, fi, 1, 1)
+        return u
+
+    u_batched = jax.vmap(one_cycle)(f)
+    for i in range(3):
+        u_i = one_cycle(f[i])
+        np.testing.assert_allclose(
+            np.asarray(u_batched[i]), np.asarray(u_i), rtol=1e-5, atol=1e-6
+        )

@@ -54,3 +54,24 @@ def test_fused_jacobi_iteration_count():
     assert abs(iters - len(hist_ref)) <= 1
     assert res <= 1e-5 * 1.01 or iters > len(hist_ref)
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=5e-5)
+
+
+def test_iterative_refinement_breaks_f32_floor():
+    """f32 V-cycles stall at the rounding floor; mixed-precision IR reaches
+    absolute residuals far below it (f64 residual, f32 corrections)."""
+    from multigrid_feanet_tpu.solvers import pallas_mg
+
+    n = 64
+    hier, ph, f = _setup(n, None, 32)
+    # plain f32 solve: find its floor
+    _, hist32 = ph.solve(f, nu1=2, nu2=2, eps=1e-12, max_cycles=60)
+    floor32 = hist32[-1]
+    u, hist_ir = pallas_mg.solve_ir(ph, f, nu1=2, nu2=2, eps=1e-11, max_outer=30)
+    assert hist_ir[-1] <= 1e-11, hist_ir
+    assert hist_ir[-1] < floor32 / 10.0
+    # solution matches the f64 oracle
+    import numpy as np
+    from multigrid_feanet_tpu.data import fem
+
+    u_ref = fem.solve_dirichlet(n, np.ones((n + 1, n + 1)), coefficients=(1.0,))
+    np.testing.assert_allclose(np.asarray(u), u_ref, atol=1e-9)
