@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from multigrid_feanet_tpu.core.problem import Problem, GridHierarchy
@@ -30,17 +31,35 @@ from multigrid_feanet_tpu.solvers import jacobi, multigrid
 REF_HNET = "/root/reference/Model/learn_iterator/iso_poisson/iso_poisson_33x33.pth"
 
 
-def hjacobi_solve(lv, params, f, bc_value, eps, max_iters=50_000):
+def hjacobi_solve(lv, params, f, bc_value, eps, max_iters=50_000, chunk=128):
+    """H-Jacobi iteration in chunked on-device scans (one dispatch per chunk,
+    not per sweep)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_chunk(u, f, bc_value, k: int):
+        def body(u, _):
+            u = hnet.h_relax(lv, params, u, f, 1, bc_value)
+            return u, jacobi.interior_norm(f - lv.apply(u))
+
+        return jax.lax.scan(body, u, None, length=k)
+
     u = jnp.zeros_like(f)
     hist = []
-    res = np.inf
-    while res > eps and len(hist) < max_iters:
-        u = hnet.h_relax(lv, params, u, f, 1, bc_value)
-        res = float(jacobi.interior_norm(f - lv.apply(u)))
-        hist.append(res)
-        if not np.isfinite(res):
+    done = 0
+    while done < max_iters:
+        k = min(chunk, max_iters - done)
+        u, norms = run_chunk(u, f, bc_value, k)
+        norms = jax.device_get(norms)
+        hist.append(norms)
+        done += k
+        hit = norms <= eps
+        if hit.any():
+            hist[-1] = norms[: int(hit.argmax()) + 1]
             break
-    return u, np.asarray(hist)
+        if not np.isfinite(norms[-1]):
+            break
+    return u, np.concatenate(hist)
 
 
 def mg_solve(hier, params, f, bc_value, eps, mode="jac", max_cycles=100):
@@ -63,12 +82,17 @@ def mg_solve(hier, params, f, bc_value, eps, mode="jac", max_cycles=100):
             u = u + prolong_bilinear(u_c, hier.levels[level].geo)
         return relax1(level, u, ff, bc)
 
+    @jax.jit
+    def one_cycle(u):
+        u = cycle(0, u, f)
+        return u, jacobi.interior_norm(f - hier.finest.apply(u))
+
     u = jnp.zeros_like(f)
     hist = []
     res = np.inf
     while res > eps and len(hist) < max_cycles:
-        u = cycle(0, u, f)
-        res = float(jacobi.interior_norm(f - hier.finest.apply(u)))
+        u, res_arr = one_cycle(u)
+        res = float(res_arr)
         hist.append(res)
         if not np.isfinite(res):
             break

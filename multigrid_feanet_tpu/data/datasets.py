@@ -164,12 +164,20 @@ def generate_isopoisson(n: int, num_samples: int, seed: int = 0,
     bc_index = np.ones((H, H), dtype=np.float32)
     bc_index[0, :] = bc_index[-1, :] = bc_index[:, 0] = bc_index[:, -1] = 0.0
     boundary_ring = 1.0 - bc_index
+    use_cg = n > 64  # dense O(N^3) is intractable past ~64; use the C++ CG oracle
+    if use_cg:
+        from multigrid_feanet_tpu import oracle
     for i in range(num_samples):
         k1, k2 = jax.random.split(jax.random.fold_in(key, i))
         f = np.asarray(rhs.gaussian_random_field(k1, H, alpha=alpha), dtype=np.float64)
         bc_field = np.asarray(rhs.gaussian_random_field(k2, H, alpha=alpha), dtype=np.float64)
         bc = bc_field * boundary_ring.astype(np.float64)
-        u = fem.solve_dirichlet(n, f, bc_value=bc)
+        if use_cg:
+            u, iters, res = oracle.solve(n, f, phase=None, coefficients=(1.0, 1.0),
+                                         bc=bc, tol=1e-11)
+            assert iters > 0, "oracle CG did not converge"
+        else:
+            u = fem.solve_dirichlet(n, f, bc_value=bc)
         us.append(u.astype(np.float32))
         fs.append(f.astype(np.float32))
         bvs.append(bc.astype(np.float32))

@@ -273,8 +273,16 @@ def solve_ir(ph: PallasHierarchy, f, u0=None, bc_value=None, nu1: int = 1, nu2: 
         history.append(float(rn))
         if history[-1] <= eps:
             break
-        # correction solve in f32 with zero Dirichlet data
-        e32, _ = ph.solve(r.astype(jnp.float32), nu1=nu1, nu2=nu2,
-                          eps=0.0, max_cycles=cycles_per_correction)
+        # correction solve in f32 with zero Dirichlet data.  Trace it with
+        # x64 disabled: Mosaic's convert-element-type lowering recurses
+        # infinitely when a Pallas kernel is traced in x64 mode.  The cast
+        # stays on device — no host round-trips per outer iteration.
+        r32 = r.astype(jnp.float32)
+        jax.config.update("jax_enable_x64", False)
+        try:
+            e32, _ = ph.solve(r32, nu1=nu1, nu2=nu2,
+                              eps=0.0, max_cycles=cycles_per_correction)
+        finally:
+            jax.config.update("jax_enable_x64", True)
         u = u + jnp.asarray(e32, jnp.float64) * jnp.asarray(lv64.geo)
     return u, np.asarray(history)
