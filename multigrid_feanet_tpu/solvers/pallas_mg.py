@@ -262,10 +262,18 @@ def solve_ir(ph: PallasHierarchy, f, u0=None, bc_value=None, nu1: int = 1, nu2: 
     if bc_value is not None:
         u = reset_boundary(u, lv64.geo, jnp.asarray(bc_value, jnp.float64))
 
-    @jax.jit
-    def residual64(u):
-        r = f64 - lv64.apply(u)
-        return r, jac.interior_norm(r)
+    # cache the compiled f64 residual on the hierarchy (a fresh jit per
+    # solve_ir call would recompile every time)
+    ir_key = ("ir_residual64",)
+    if ir_key not in ph._compiled:
+
+        @jax.jit
+        def _residual64(u, f64):
+            r = f64 - lv64.apply(u)
+            return r, jac.interior_norm(r)
+
+        ph._compiled[ir_key] = _residual64
+    residual64 = lambda u: ph._compiled[ir_key](u, f64)
 
     history = []
     for _ in range(max_outer):
