@@ -163,3 +163,55 @@ def jacobi_step_elastic(table: jax.Array, pid: jax.Array | None, dinv: jax.Array
 def elastic_interior_norm(r: jax.Array) -> jax.Array:
     ri = r[..., 1:-1, 1:-1]
     return jnp.sqrt(jnp.sum(ri * ri, axis=(-3, -2, -1)))
+
+
+def unit_block_taps(E: float, nu: float, plane: str = "stress"):
+    """(S9_blocks, S4_blocks): homogeneous block stencil (3,3,2,2) and the
+    four per-quadrant element contributions (4,3,3,2,2), both for a
+    coefficient-1 element.  Basis of the bitplane apply (h-independent)."""
+    ke = element_stiffness_elastic(E, nu, 1.0, plane)
+    elem_offsets = ((-1, -1), (-1, 0), (0, -1), (0, 0))
+    s4 = np.zeros((4, 3, 3, 2, 2))
+    for e, (dr, dc) in enumerate(elem_offsets):
+        loc = {(dr, dc): 0, (dr, dc + 1): 1, (dr + 1, dc + 1): 2, (dr + 1, dc): 3}
+        lp = loc[(0, 0)]
+        for (qi, qj), lq in loc.items():
+            s4[e, qi + 1, qj + 1] += ke[2 * lp : 2 * lp + 2, 2 * lq : 2 * lq + 2]
+    return s4.sum(axis=0), s4
+
+
+def apply_elastic_bitplane(pid: jax.Array, u: jax.Array, E: float, nu: float,
+                           a0: float, a1: float, plane: str = "stress") -> jax.Array:
+    """A @ u for the two-phase elastic operator with no gathers:
+
+        A u = a0 * S9b(u) + (a1 - a0) * sum_e bit_e(pid) .* S4b_e(u)
+
+    the vector analogue of ops/stencil.apply_stencil_bitplane — the fast
+    form on TPU (per-node block gathers do not vectorize)."""
+    s9, s4 = unit_block_taps(E, nu, plane)
+    H, W = u.shape[-2:]
+    up = jnp.pad(u, [(0, 0)] * (u.ndim - 2) + [(1, 1), (1, 1)])
+    da = float(a1) - float(a0)
+
+    def block_taps(table_np, scale_plane=None):
+        out = jnp.zeros_like(u)
+        for dr in range(3):
+            for dc in range(3):
+                blk = table_np[dr, dc]
+                if not np.any(blk):
+                    continue
+                shifted = up[..., dr : dr + H, dc : dc + W]  # (..., 2, H, W)
+                for oc in range(2):
+                    term = (blk[oc, 0] * shifted[..., 0, :, :]
+                            + blk[oc, 1] * shifted[..., 1, :, :])
+                    if scale_plane is not None:
+                        term = term * scale_plane
+                    out = out.at[..., oc, :, :].add(term)
+        return out
+
+    acc = float(a0) * block_taps(s9)
+    p = pid.astype(jnp.int32)
+    for e in range(4):
+        bit = ((p >> e) & 1).astype(u.dtype)
+        acc = acc + da * block_taps(s4[e], scale_plane=bit)
+    return acc

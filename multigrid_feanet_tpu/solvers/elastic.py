@@ -26,12 +26,21 @@ from multigrid_feanet_tpu.ops.transfer import restrict_full_weighting, prolong_b
 class ElasticLevel:
     n: int = struct.field(pytree_node=False)
     h: float = struct.field(pytree_node=False)
+    # static material parameters enable the gather-free bitplane apply
+    E: float = struct.field(pytree_node=False, default=1.0)
+    nu: float = struct.field(pytree_node=False, default=0.3)
+    plane: str = struct.field(pytree_node=False, default="stress")
+    a0: Optional[float] = struct.field(pytree_node=False, default=None)
+    a1: Optional[float] = struct.field(pytree_node=False, default=None)
     table: jax.Array = None  # (16, 3, 3, 2, 2)
     pid: Optional[jax.Array] = None
     geo: jax.Array = None  # (H, W)
     dinv: jax.Array = None  # (H, W, 2, 2)
 
     def apply(self, u):
+        if self.pid is not None and self.a0 is not None:
+            return el.apply_elastic_bitplane(self.pid, u, self.E, self.nu,
+                                             self.a0, self.a1, self.plane)
         return el.apply_elastic_stencil(self.table, self.pid, u)
 
 
@@ -53,16 +62,24 @@ def build_elastic_hierarchy(n: int, E: float = 1.0, nu: float = 0.3, size: float
             pid = scalar_stencil.pattern_ids(jnp.asarray(phase_fn(size, nl, center, radius)))
         geo = geometry.interior_mask(nl + 1, dtype=dtype)
         dblocks = el.block_diagonal(table, pid, shape=(nl + 1, nl + 1))
+        a0, a1 = (float(coefficients[0]), float(coefficients[1])) if pid is not None else (None, None)
         levels.append(
-            ElasticLevel(n=nl, h=h, table=table, pid=pid, geo=geo, dinv=el.invert_2x2(dblocks))
+            ElasticLevel(n=nl, h=h, E=float(E), nu=float(nu), plane=plane, a0=a0, a1=a1,
+                         table=table, pid=pid, geo=geo, dinv=el.invert_2x2(dblocks))
         )
     return tuple(levels)
 
 
 def relax(level: ElasticLevel, u, f, num_sweeps: int, bc_value=0.0, omega=2.0 / 3.0):
+    import jax.numpy as jnp
+
     for _ in range(num_sweeps):
-        u = el.jacobi_step_elastic(level.table, level.pid, level.dinv, level.geo, u, f,
-                                   bc_value, omega)
+        u = u * level.geo[..., None, :, :] + bc_value
+        r = f - level.apply(u)
+        rr = jnp.moveaxis(r, -3, -1)
+        upd = jnp.einsum("...hwij,...hwj->...hwi", level.dinv, rr)
+        u = u + omega * jnp.moveaxis(upd, -1, -3)
+        u = u * level.geo[..., None, :, :] + bc_value
     return u
 
 

@@ -109,3 +109,16 @@ def test_elastic_bimaterial_converges():
     fv[1::2] = fn[1].reshape(-1)
     r = (fv - K @ uv).reshape(H, H, 2)
     assert np.abs(r[1:-1, 1:-1]).max() < 1e-8
+
+
+def test_bitplane_apply_matches_gather():
+    n = 16
+    phase = geometry.circle_phase(2.0, n)
+    pid = scalar_stencil.pattern_ids(jnp.asarray(phase))
+    coeffs = (1.0, 10.0)
+    table = el.make_elastic_stencil_table(E, NU, 2.0 / n, coeffs, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((2, n + 1, n + 1)))
+    a = el.apply_elastic_stencil(table, pid, u)
+    b = el.apply_elastic_bitplane(pid, u, E, NU, coeffs[0], coeffs[1])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-8 * E)
