@@ -292,6 +292,18 @@ class PallasStencil:
         where rsq is the pre-update interior squared residual norm."""
         return self._call(u_pad, f_pad, "sweep")
 
+    def sweep_k_padded(self, u_pad, f_pad, k: int):
+        """k temporally-fused Jacobi sweeps in one HBM pass (k <= 8).
+        Returns (u_new, rsq) with rsq the pre-update residual of the LAST
+        sweep (lags k-1 sweeps behind the final iterate)."""
+        assert 1 <= k <= 8
+        pid = self.pid_pad
+        return _run_fused(
+            u_pad, f_pad, pid,
+            H=self.H, W=self.W, a0=self.a0, da=self.da, omega=self.omega,
+            interpret=self.interpret, rows=self.rows, k=k,
+        )
+
     def residual_padded(self, u_pad, f_pad):
         """Interior-masked residual f - A u on ghost-padded buffers + norm^2."""
         return self._call(u_pad, f_pad, "residual")
@@ -305,3 +317,147 @@ class PallasStencil:
     def residual(self, u, f):
         r, rsq = self.residual_padded(self.pad(u), self.pad(f))
         return self.unpad(r), rsq
+
+
+# ---- temporally fused multi-sweep kernel ----
+#
+# k weighted-Jacobi sweeps per HBM pass (k <= 8): the block's u/f tiles carry
+# +-8 rows of halo (the aligned DMA lead-in), pid +-32, and each sweep s
+# computes its iterate on rows extended by (k-1-s) per side, shrinking to the
+# block's rows for the final write-back.  HBM traffic per k sweeps is one
+# read of u/f/pid + one write of u — amortized ~(13/k + 8(k-1)/k) B/node —
+# instead of 13 B/node per sweep.  Column halos remain free (lane rolls with
+# wrap landing in masked lanes; the boundary mask stops lateral garbage
+# propagation, so any k is column-safe).
+
+
+def _views_ext(tile, base: int, length: int):
+    """views[(dr, dc)] -> (length, Wp) of u[i+dr, j+dc] for a row window
+    starting at tile-local ``base``."""
+    Wp = tile.shape[1]
+    rolled = {0: tile, 1: pltpu.roll(tile, Wp - 1, 1), -1: pltpu.roll(tile, 1, 1)}
+    return {
+        (dr, dc): rolled[dc][base + dr : base + dr + length, :]
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    }
+
+
+def _apply_taps_ext(tile, base, length, pid_win, a0, da, bimaterial):
+    v = _views_ext(tile, base, length)
+    acc = None
+    for (dr, dc), w in _S9.items():
+        term = (a0 * w) * v[(dr, dc)]
+        acc = term if acc is None else acc + term
+    if bimaterial:
+        p = pid_win.astype(jnp.int32)
+        for e, taps in enumerate(_S4):
+            bit = ((p >> e) & 1).astype(tile.dtype)
+            t4 = None
+            for (dr, dc), w in taps.items():
+                term = w * v[(dr, dc)]
+                t4 = term if t4 is None else t4 + term
+            acc = acc + (da * bit) * t4
+    return acc
+
+
+def _fused_sweeps_kernel(u_hbm, f_hbm, pid_hbm, u_out, rsq_ref, us, fs, ps_, sems, *,
+                         rows, H, W, Wp, a0, da, omega, bimaterial, k):
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    def dma3(block, slot):
+        s8 = pl.multiple_of((block + 1) * rows - 8, 8)
+        s32 = pl.multiple_of((block + 1) * rows - 32, 8)
+        return (
+            pltpu.make_async_copy(u_hbm.at[pl.ds(s8, rows + 16)], us.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(f_hbm.at[pl.ds(s8, rows + 16)], fs.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(pid_hbm.at[pl.ds(s32, rows + 64)], ps_.at[slot], sems.at[slot, 2]),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for d in dma3(0, 0):
+            d.start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        for d in dma3(i + 1, (i + 1) % 2):
+            d.start()
+
+    for d in dma3(i, i % 2):
+        d.wait()
+    u_tile = us[i % 2]  # (rows+16, Wp), data at 8..8+rows
+    f_tile = fs[i % 2]
+    p_tile = ps_[i % 2]  # (rows+64, Wp), data at 32..32+rows
+
+    def win_mask(ext):
+        gr = (i * rows - ext) + jax.lax.broadcasted_iota(jnp.int32, (rows + 2 * ext, Wp), 0)
+        gc = jax.lax.broadcasted_iota(jnp.int32, (rows + 2 * ext, Wp), 1)
+        return (gr >= 1) & (gr <= H - 2) & (gc >= 1) & (gc <= W - 2)
+
+    cur = u_tile  # iterate s reads `cur` with data at `cur_base`
+    cur_base = 8
+    r_last = None
+    ext_last = 0
+    for s in range(k):
+        ext = k - 1 - s
+        length = rows + 2 * ext
+        pid_win = p_tile[32 - ext : 32 - ext + length, :] if bimaterial else None
+        au = _apply_taps_ext(cur, cur_base - ext, length, pid_win, a0, da, bimaterial)
+        r = f_tile[8 - ext : 8 - ext + length, :] - au
+        r = jnp.where(win_mask(ext), r, 0.0)
+        d = _diag(pid_win, a0, da, bimaterial, r.dtype)
+        cur = cur[cur_base - ext : cur_base - ext + length, :] + (omega / d) * r
+        cur_base = ext  # data row 0 now sits `ext` rows into the shrunk tile
+        r_last, ext_last = r, ext
+    u_out[...] = cur
+    rc = r_last if ext_last == 0 else r_last[ext_last:-ext_last, :]
+    rsq_ref[i, 0] = jnp.sum(rc * rc)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "a0", "da", "omega", "interpret", "rows", "k")
+)
+def _run_fused(u_pad, f_pad, pid_pad, *, H, W, a0, da, omega, interpret, rows, k):
+    HpG, Wp = u_pad.shape
+    Hp = HpG - 2 * rows
+    nb = Hp // rows
+    bimaterial = pid_pad is not None
+    if pid_pad is None:
+        pid_pad = jnp.zeros_like(u_pad, dtype=jnp.int8)  # placeholder (never read)
+    kernel = functools.partial(
+        _fused_sweeps_kernel,
+        rows=rows, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega,
+        bimaterial=bimaterial, k=k,
+    )
+    out, rsq = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, Wp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((HpG, Wp), u_pad.dtype),
+            jax.ShapeDtypeStruct((nb, 1), u_pad.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, rows + 16, Wp), u_pad.dtype),
+            pltpu.VMEM((2, rows + 16, Wp), u_pad.dtype),
+            pltpu.VMEM((2, rows + 64, Wp), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=k * (50 if bimaterial else 18) * Hp * Wp,
+            bytes_accessed=13 * Hp * Wp,
+            transcendentals=0,
+        ),
+    )(u_pad, f_pad, pid_pad)
+    return out, jnp.sum(rsq)

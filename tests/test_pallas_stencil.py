@@ -98,3 +98,32 @@ def test_padded_roundtrip_many_sweeps():
     np.testing.assert_allclose(
         np.asarray(ps.unpad(u_pad)), np.asarray(u_ref), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("bimaterial", [False, True])
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_fused_k_sweeps_match_chain(k, bimaterial):
+    """k temporally-fused sweeps equal k single sweeps."""
+    n = 64
+    ps, table, pid, u, f = _setup(n, bimaterial)
+    problem = Problem(
+        n=n, inclusion=("circle", (0.0, 0.0), 0.5) if bimaterial else None, dtype=jnp.float32
+    )
+    lv = GridHierarchy.create(problem).finest
+    u0 = jnp.asarray(np.asarray(u) * np.asarray(lv.geo), dtype=jnp.float32)
+    u_pad, f_pad = ps.pad(u0), ps.pad(f)
+    uk, rsq = ps.sweep_k_padded(u_pad, f_pad, k)
+    u_ref = u0
+    for _ in range(k):
+        u_ref = jacobi.jacobi_step(lv, u_ref, f)
+    np.testing.assert_allclose(
+        np.asarray(ps.unpad(uk)), np.asarray(u_ref), rtol=1e-4, atol=1e-4
+    )
+    # rsq is the pre-update residual of the last sweep = post-residual of
+    # sweep k-1
+    u_km1 = u0
+    for _ in range(k - 1):
+        u_km1 = jacobi.jacobi_step(lv, u_km1, f)
+    r = f - lv.apply(u_km1)
+    expected = float(jnp.sum(r[1:-1, 1:-1] ** 2))
+    np.testing.assert_allclose(float(rsq), expected, rtol=1e-3)
