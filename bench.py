@@ -60,12 +60,36 @@ def main():
         dt = (time.time() - t0) / iters
         return nnz / dt, dt
 
+    def sweep_rate_fused(ps, k, iters=150):
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal((n + 1, n + 1)), dtype=jnp.float32)
+        f = jnp.asarray(rng.standard_normal((n + 1, n + 1)), dtype=jnp.float32)
+        u_pad, f_pad = ps.pad(u), ps.pad(f)
+
+        @jax.jit
+        def run(u_pad, f_pad):
+            def body(u, _):
+                un, rsq = ps.sweep_k_padded(u, f_pad, k)
+                return un, rsq
+
+            return jax.lax.scan(body, u_pad, None, length=iters)
+
+        out, _ = run(u_pad, f_pad)
+        out.block_until_ready()
+        t0 = time.time()
+        out, _ = run(u_pad, f_pad)
+        out.block_until_ready()
+        dt = (time.time() - t0) / (iters * k)
+        return nnz / dt, dt
+
     phase = geometry.circle_phase(2.0, n)
     pid = stencil.pattern_ids(jnp.asarray(phase))
     ps_bi = PallasStencil(n, pid=pid, coefficients=(1.0, 20.0), interpret=False)
     rate_bi, dt_bi = sweep_rate(ps_bi)
+    rate_bi_k4, dt_bi_k4 = sweep_rate_fused(ps_bi, 4)
     ps_ho = PallasStencil(n, pid=None, interpret=False)
     rate_ho, dt_ho = sweep_rate(ps_ho)
+    rate_ho_k8, dt_ho_k8 = sweep_rate_fused(ps_ho, 8)
 
     # --- 4097^2 Poisson V(1,1) to 1e-6 absolute residual ---
     problem = Problem(n=n, inclusion=None, dtype=jnp.float32)
@@ -82,13 +106,15 @@ def main():
     q = float(hist[-1] / hist[-2]) if cycles > 1 else float("nan")
 
     result = {
-        "metric": "stencil_spmv_nnz_per_s_4097sq_bimaterial",
-        "value": rate_bi,
+        "metric": "jacobi_sweep_nnz_per_s_4097sq_bimaterial_fused4",
+        "value": rate_bi_k4,
         "unit": "nnz/s",
-        "vs_baseline": rate_bi / REF_CPU_NNZ_PER_S,
+        "vs_baseline": rate_bi_k4 / REF_CPU_NNZ_PER_S,
+        "spmv_nnz_per_s_bimaterial_k1": rate_bi,
         "sweep_us_bimaterial": dt_bi * 1e6,
         "sweep_us_homogeneous": dt_ho * 1e6,
         "nnz_per_s_homogeneous": rate_ho,
+        "nnz_per_s_homogeneous_fused8": rate_ho_k8,
         "vcycle_4097_solve_s": t_solve,
         "vcycle_4097_cycles": cycles,
         "vcycle_4097_final_res": float(hist[-1]),

@@ -175,13 +175,16 @@ class PallasHierarchy:
         return u, np.asarray(hist)[:k]
 
     def solve_jacobi(self, f, u0=None, bc_value=None, eps: float = 1e-5,
-                     max_iters: int = 100_000):
+                     max_iters: int = 100_000, fuse: int = 1):
         """Plain weighted-Jacobi solve in one on-device while loop.
 
         The convergence test uses the sweep kernel's free pre-update residual
         (equal to the post-update residual of the previous sweep), so each
-        iteration costs exactly one fused kernel pass.
-        """
+        iteration costs exactly one fused kernel pass.  ``fuse`` > 1 runs k
+        temporally-fused sweeps per kernel pass (ops/pallas_stencil.py
+        sweep_k_padded) — up to ~2x sweep throughput, with convergence
+        checked every ``fuse`` sweeps (iteration counts are then multiples
+        of ``fuse``)."""
         lv0, ps0 = self.hier.finest, self.ps[0]
         H = lv0.n_nodes
         dtype = ps0.dtype if ps0 is not None else lv0.geo.dtype
@@ -189,7 +192,7 @@ class PallasHierarchy:
             u0 = jnp.zeros((H, H), dtype=dtype)
         u0 = reset_boundary(u0, lv0.geo, 0.0 if bc_value is None else bc_value)
 
-        key = ("jacobi", float(eps), max_iters)
+        key = ("jacobi", float(eps), max_iters, fuse)
         if key not in self._compiled:
 
             @jax.jit
@@ -204,12 +207,16 @@ class PallasHierarchy:
                 def body(c):
                     u, k, res = c
                     if ps0 is not None:
-                        u, rsq = ps0.sweep_padded(u, f_lv)
+                        if fuse > 1:
+                            u, rsq = ps0.sweep_k_padded(u, f_lv, fuse)
+                        else:
+                            u, rsq = ps0.sweep_padded(u, f_lv)
                         res = jnp.sqrt(rsq).astype(jnp.float32)
                     else:
-                        u = jac.jacobi_step(lv0, u, f_lv, 0.0, self.omega)
+                        for _ in range(fuse):
+                            u = jac.jacobi_step(lv0, u, f_lv, 0.0, self.omega)
                         res = jac.interior_norm(f_lv - lv0.apply(u)).astype(jnp.float32)
-                    return (u, k + 1, res)
+                    return (u, k + fuse, res)
 
                 u, k, res = jax.lax.while_loop(
                     cond, body, (u, jnp.int32(0), jnp.float32(jnp.inf))

@@ -75,3 +75,13 @@ def test_iterative_refinement_breaks_f32_floor():
 
     u_ref = fem.solve_dirichlet(n, np.ones((n + 1, n + 1)), coefficients=(1.0,))
     np.testing.assert_allclose(np.asarray(u), u_ref, atol=1e-9)
+
+
+def test_fused_jacobi_solver():
+    n = 16
+    hier, ph, f = _setup(n, None, 8)
+    u1, it1, res1 = ph.solve_jacobi(f, eps=1e-5)
+    u4, it4, res4 = ph.solve_jacobi(f, eps=1e-5, fuse=4)
+    assert abs(it4 - it1) <= 4
+    assert res4 <= 1e-5 * 1.05
+    np.testing.assert_allclose(np.asarray(u4), np.asarray(u1), atol=1e-5)
