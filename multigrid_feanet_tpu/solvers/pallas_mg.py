@@ -69,6 +69,19 @@ class PallasHierarchy:
             return u_new
         return jac.jacobi_step(lv, u, f, 0.0, self.omega)
 
+    def _relax(self, l: int, u, f, nu: int):
+        """nu sweeps; pallas levels use the temporally-fused kernel for
+        nu > 1 (bitwise-identical to chained sweeps, one HBM pass)."""
+        if nu == 0:
+            return u
+        ps = self.ps[l]
+        if ps is not None and nu > 1:
+            u, _ = ps.sweep_k_padded(u, f, nu)
+            return u
+        for _ in range(nu):
+            u = self._sweep(l, u, f)
+        return u
+
     def _residual_plain(self, l: int, u, f):
         """Residual as a plain (n+1, n+1) field (for restriction)."""
         lv, ps = self.hier.levels[l], self.ps[l]
@@ -105,17 +118,14 @@ class PallasHierarchy:
         native (padded or plain) representation."""
         L = self.hier.num_levels
         lv = self.hier.levels[level]
-        for _ in range(nu1):
-            u = self._sweep(level, u, f_lv)
+        u = self._relax(level, u, f_lv, nu1)
         if level < L - 1:
             r = self._residual_plain(level, u, f_lv)
             f_c = self._to_level(level + 1, 4.0 * restrict_full_weighting(r))
             u_c = self.v_cycle(self._zeros(level + 1), f_c, nu1, nu2, level + 1)
             corr = prolong_bilinear(self._as_plain(level + 1, u_c), lv.geo)
             u = self._add_plain(level, u, corr)
-        for _ in range(nu2):
-            u = self._sweep(level, u, f_lv)
-        return u
+        return self._relax(level, u, f_lv, nu2)
 
     # ---- fused solve entry points (one device dispatch per solve) ----
 
