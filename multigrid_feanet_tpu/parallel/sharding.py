@@ -223,3 +223,96 @@ def sharded_hnet_train_step(mesh: Mesh):
         return train_hnet.train_step(level, state, u_star, f, bc_value, bc_index)
 
     return step
+
+
+# ---- explicit shard_map halo exchange (performance-controlled alternative
+# to the GSPMD-automatic path above) ----
+
+from functools import partial as _partial
+
+from jax.experimental.shard_map import shard_map as _shard_map
+
+from multigrid_feanet_tpu.ops import stencil as _stencil
+
+
+def halo_exchange(local: jax.Array, axis_x: str = "x", axis_y: str = "y") -> jax.Array:
+    """Exchange 1-deep halos with the 4 neighbours of a 2D block partition
+    via `lax.ppermute` (XLA collective-permute over ICI).
+
+    ``local``: this shard's (h, w) tile.  Returns the (h+2, w+2) haloed tile
+    with zero ghosts at the global domain edge (matching the zero-padded
+    stencil semantics of the single-device operator).
+    """
+    nx = jax.lax.axis_size(axis_x)
+    ny = jax.lax.axis_size(axis_y)
+    ix = jax.lax.axis_index(axis_x)
+    iy = jax.lax.axis_index(axis_y)
+
+    def ppermute(x, axis, shift):
+        n = jax.lax.axis_size(axis)
+        perm = [(i, (i + shift) % n) for i in range(n)]
+        return jax.lax.ppermute(x, axis, perm)
+
+    # rows from the north/south neighbours (wrap values are masked below)
+    top = ppermute(local[-1:, :], axis_x, 1)      # from ix-1: its last row
+    bot = ppermute(local[:1, :], axis_x, -1)      # from ix+1: its first row
+    top = jnp.where(ix == 0, 0.0, top)
+    bot = jnp.where(ix == nx - 1, 0.0, bot)
+    body = jnp.concatenate([top, local, bot], axis=0)
+    left = ppermute(body[:, -1:], axis_y, 1)
+    right = ppermute(body[:, :1], axis_y, -1)
+    left = jnp.where(iy == 0, 0.0, left)
+    right = jnp.where(iy == ny - 1, 0.0, right)
+    return jnp.concatenate([left, body, right], axis=1)
+
+
+def shardmap_jacobi_step(mesh: Mesh, H: int, W: int, a0: float, a1: Optional[float],
+                         omega: float = 2.0 / 3.0):
+    """Explicit-halo distributed Jacobi sweep over a ("x", "y") 2D partition.
+
+    Returns a jitted fn (u_pad, f_pad, pid_pad) -> u_new operating on
+    mesh-divisible padded buffers (same layout as DistributedHierarchy).
+    Each shard exchanges 1-deep halos via ppermute, evaluates the bitplane
+    operator on its haloed tile, and applies the masked omega/D update —
+    the comm/compute structure is explicit instead of GSPMD-inferred.
+    """
+    bimaterial = a1 is not None
+    da = (a1 - a0) if bimaterial else 0.0
+
+    def local_step(u, f, pid, row0, col0):
+        uh = halo_exchange(u)
+        # bitplane taps on the haloed tile
+        h, w = u.shape
+        acc = None
+        for (dr, dc), wgt in _stencil.UNIT_S9.items():
+            t = (a0 * wgt) * uh[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+            acc = t if acc is None else acc + t
+        if bimaterial:
+            p = pid.astype(jnp.int32)
+            for e, taps in enumerate(_stencil.UNIT_S4):
+                bit = ((p >> e) & 1).astype(u.dtype)
+                t4 = None
+                for (dr, dc), wgt in taps.items():
+                    t = wgt * uh[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+                    t4 = t if t4 is None else t4 + t
+                acc = acc + (da * bit) * t4
+            nbits = (p & 1) + ((p >> 1) & 1) + ((p >> 2) & 1) + ((p >> 3) & 1)
+            d = (2.0 / 3.0) * (4.0 * a0 + da * nbits.astype(u.dtype))
+        else:
+            d = jnp.asarray((8.0 / 3.0) * a0, u.dtype)
+        r = f - acc
+        gr = row0 + jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+        gc = col0 + jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+        interior = (gr >= 1) & (gr <= H - 2) & (gc >= 1) & (gc <= W - 2)
+        return jnp.where(interior, u + (omega / d) * r, u)
+
+    def wrapped(u, f, pid):
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        row0 = ix * u.shape[0]
+        col0 = iy * u.shape[1]
+        return local_step(u, f, pid, row0, col0)
+
+    spec = P("x", "y")
+    fn = _shard_map(wrapped, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    return jax.jit(fn)

@@ -75,3 +75,44 @@ def test_sharded_hnet_train_step_runs():
     # a second step with the new state also runs (shapes/shardings stable)
     state3, loss2 = step(hier.finest, state2, u_star, f, bc_value, bc_index)
     assert np.isfinite(float(loss2))
+
+
+def test_shardmap_explicit_halo_jacobi_matches_gspmd():
+    """The explicit shard_map + ppermute halo-exchange sweep equals the
+    single-device Jacobi step on the padded layout."""
+    n = 64
+    problem = Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5), dtype=jnp.float32)
+    hier = GridHierarchy.create(problem)
+    mesh2d = jax.sharding.Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), ("x", "y")
+    )
+    dh = sharding.DistributedHierarchy(
+        GridHierarchy.create(problem),
+        sharding.make_mesh(8),
+        replicate_below=0,
+    )
+    lv = hier.finest
+    Hp, Wp = dh.shapes[0]
+    rng = np.random.default_rng(0)
+    u = np.zeros((Hp, Wp), np.float32)
+    u[: n + 1, : n + 1] = rng.standard_normal((n + 1, n + 1))
+    f = np.zeros((Hp, Wp), np.float32)
+    f[: n + 1, : n + 1] = rng.standard_normal((n + 1, n + 1))
+    pid_pad = np.zeros((Hp, Wp), np.int8)
+    pid_pad[: n + 1, : n + 1] = np.asarray(lv.pid)
+
+    step = sharding.shardmap_jacobi_step(mesh2d, n + 1, n + 1, lv.a0, lv.a1)
+    out = np.asarray(step(jnp.asarray(u), jnp.asarray(f), jnp.asarray(pid_pad)))
+
+    # reference: single-device sweep with boundary-keep semantics
+    from multigrid_feanet_tpu.ops import stencil as st
+
+    au = np.asarray(st.apply_stencil_bitplane(jnp.asarray(pid_pad), jnp.asarray(u),
+                                              lv.a0, lv.a1))
+    d = np.asarray(st.stencil_diagonal(
+        st.make_stencil_table((lv.a0, lv.a1), dtype=jnp.float32), jnp.asarray(pid_pad)))
+    r = f - au
+    interior = np.zeros((Hp, Wp), bool)
+    interior[1:n, 1:n] = True
+    expected = np.where(interior, u + (2.0 / 3.0) / d * r, u)
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
