@@ -71,12 +71,13 @@ def _grad_mask(params: IntergridParams, train_kernel: Optional[int]) -> Intergri
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "m0", "n_relax", "train_kernel", "train_deconv", "lr"),
+    jax.jit,
+    static_argnames=("m", "m0", "n_relax", "train_kernel", "train_deconv", "train_w", "lr"),
     donate_argnums=(1,),
 )
 def train_step(hier: GridHierarchy, state: TrainState, F_batch, *, m: int = 6, m0: int = 2,
                n_relax: int = 1, train_kernel: Optional[int] = None,
-               train_deconv: bool = True, lr: float = 1e-3):
+               train_deconv: bool = True, train_w: bool = False, lr: float = 1e-3):
     """One batch step on RHS fields ``F_batch`` (N, H, W)."""
     key, k_v = jax.random.split(state.key)
     lv = hier.finest
@@ -100,6 +101,8 @@ def train_step(hier: GridHierarchy, state: TrainState, F_batch, *, m: int = 6, m
     mask = _grad_mask(state.params, train_kernel)
     if not train_deconv:
         mask = mask.replace(deconv=jnp.zeros_like(mask.deconv))
+    if train_w:
+        mask = mask.replace(w=jnp.ones_like(mask.w))
     grads = jax.tree.map(lambda g, mk: g * mk, grads, mask)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
