@@ -1,0 +1,79 @@
+"""Coarse-grid direct solve as a precomputed dense-inverse matmul.
+
+The reference's V-cycle never solves the coarsest level exactly — it only
+relaxes there (reference: MM_Model_convergence.ipynb cell 3 ``rec_V_cycle``,
+FEANet/multigrid.py:108-113 build levels down to n=2).  That is fine at n=2
+(one interior node), but it forces the hierarchy to full log2(n) depth: stop
+any earlier and the un-solved coarse level wrecks the convergence factor.
+
+This module adds the standard remedy, in TPU-idiomatic form: the coarsest
+interior operator is assembled densely ONCE (host-side numpy, from the same
+(16,3,3) stencil table + pattern-id field that defines A everywhere else),
+inverted, and the coarse solve becomes a single (m^2, m^2) matmul — MXU work,
+no iteration, exact.  This enables *truncated hierarchies* (e.g. stop at
+n=16 or n=32), which drop the deepest, latency-bound levels of the V-cycle.
+
+Assumption: the solve is for the homogeneous-Dirichlet problem (interior
+unknowns only, boundary = 0) — always true for coarse-grid *error* equations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multigrid_feanet_tpu.core.problem import Level
+
+
+def dense_interior_matrix(level: Level) -> np.ndarray:
+    """Assemble A restricted to interior nodes as a dense (m^2, m^2) f64
+    matrix, m = n - 1, row-major over interior (i, j) in [1, n-1]^2.
+
+    Entry convention follows ops/stencil.py: ``table[pid[i,j], 1+dr, 1+dc]``
+    couples node (i, j) to (i+dr, j+dc).  Columns touching the boundary ring
+    are dropped (zero Dirichlet).
+    """
+    n = level.n
+    m = n - 1
+    table = np.asarray(jax.device_get(level.table), dtype=np.float64)
+    pid = None if level.pid is None else np.asarray(jax.device_get(level.pid))
+    A = np.zeros((m * m, m * m), dtype=np.float64)
+    for i in range(1, n):
+        for j in range(1, n):
+            st = table if pid is None else table[pid[i, j]]
+            row = (i - 1) * m + (j - 1)
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    ii, jj = i + dr, j + dc
+                    if 1 <= ii < n and 1 <= jj < n:
+                        A[row, (ii - 1) * m + (jj - 1)] += st[1 + dr, 1 + dc]
+    return A
+
+
+def coarse_inverse(level: Level, dtype=None) -> jax.Array:
+    """Precompute inv(A_interior) for ``level`` as a device array."""
+    inv = np.linalg.inv(dense_interior_matrix(level))
+    if dtype is None:
+        dtype = level.geo.dtype
+    return jnp.asarray(inv, dtype=dtype)
+
+
+def coarse_solve(inv: jax.Array, f: jax.Array) -> jax.Array:
+    """Exact interior solve ``u = inv @ f_interior`` (zero boundary ring).
+
+    ``f``: (..., n+1, n+1) level-shaped RHS; returns u of the same shape.
+    One dense matvec — lowered onto the MXU.
+    """
+    mm = inv.shape[0]
+    m = int(round(np.sqrt(mm)))
+    if f.shape[-1] != m + 2:
+        raise ValueError(
+            f"coarse_inv is for an n={m + 1} level ({m}^2 interior nodes) but "
+            f"the RHS has shape {f.shape}; pass coarse_inverse(hier.levels[-1])"
+        )
+    fi = f[..., 1:-1, 1:-1].reshape(*f.shape[:-2], mm)
+    ui = fi @ inv.T
+    u = ui.reshape(*f.shape[:-2], m, m)
+    pad = [(0, 0)] * (f.ndim - 2) + [(1, 1), (1, 1)]
+    return jnp.pad(u, pad)

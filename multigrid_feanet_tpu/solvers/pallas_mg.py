@@ -42,9 +42,17 @@ class PallasHierarchy:
     """
 
     def __init__(self, hier: GridHierarchy, coefficients=None, omega: float = DEFAULT_OMEGA,
-                 pallas_threshold: int = 256, interpret: Optional[bool] = None):
+                 pallas_threshold: int = 256, interpret: Optional[bool] = None,
+                 direct_coarse: bool = False):
         self.hier = hier
         self.omega = float(omega)
+        # optional exact coarsest-level solve (dense-inverse matmul,
+        # solvers/coarse.py) — enables truncated hierarchies
+        self.coarse_inv = None
+        if direct_coarse and hier.num_levels > 1:
+            from multigrid_feanet_tpu.solvers import coarse as _coarse
+
+            self.coarse_inv = _coarse.coarse_inverse(hier.levels[-1])
         self.ps = []
         for lv in hier.levels:
             if lv.n >= pallas_threshold:
@@ -118,6 +126,12 @@ class PallasHierarchy:
         native (padded or plain) representation."""
         L = self.hier.num_levels
         lv = self.hier.levels[level]
+        if level == L - 1 and level > 0 and self.coarse_inv is not None:
+            from multigrid_feanet_tpu.solvers.coarse import coarse_solve
+
+            f_plain = self._as_plain(level, f_lv)
+            u_plain = coarse_solve(self.coarse_inv, f_plain).astype(f_plain.dtype)
+            return self._to_level(level, u_plain)
         u = self._relax(level, u, f_lv, nu1)
         if level < L - 1:
             r = self._residual_plain(level, u, f_lv)
