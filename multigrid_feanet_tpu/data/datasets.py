@@ -187,6 +187,55 @@ def generate_isopoisson(n: int, num_samples: int, seed: int = 0,
     )
 
 
+@dataclasses.dataclass
+class ElasticDataset:
+    """(u*, f) pairs for the elastic learned-iterator family: displacement
+    solutions and raw 2-component body-force fields, zero Dirichlet ring.
+    Body forces come from the same six RHS families as the scalar sets
+    (reference: Data/RHS/generate_rhs.py)."""
+
+    u: np.ndarray  # (N, 2, H, H)
+    f: np.ndarray  # (N, 2, H, H)
+
+    def __len__(self):
+        return self.u.shape[0]
+
+    def __getitem__(self, idx):
+        return self.u[idx], self.f[idx]
+
+
+def generate_elastic(n: int, num_samples: int, seed: int = 0, E: float = 1.0,
+                     nu: float = 0.3, size: float = 2.0, phase: np.ndarray | None = None,
+                     coefficients=(1.0, 1.0), plane: str = "stress") -> ElasticDataset:
+    """Elastic dataset via the dense f64 FEM oracle (data/fem.py
+    solve_dirichlet_elastic, mirroring the reference's MATLAB elasticity
+    ground truths, Archive/FEM/matlab_elasticity/Plane_Stress_modify.m)."""
+    H = n + 1
+    key = jax.random.PRNGKey(seed)
+    forces = np.asarray(
+        rhs.make_dataset(key, H, 2 * num_samples), dtype=np.float64
+    ).reshape(num_samples, 2, H, H)
+    us = []
+    for i in range(num_samples):
+        u = fem.solve_dirichlet_elastic(
+            n, forces[i], E=E, nu=nu, size=size, phase=phase,
+            coefficients=coefficients, plane=plane,
+        )
+        us.append(u.astype(np.float32))
+    return ElasticDataset(u=np.stack(us), f=forces.astype(np.float32))
+
+
+def save_elastic(ds: ElasticDataset, path: str) -> None:
+    with h5py.File(path, "w") as h5:
+        h5["u"] = ds.u
+        h5["force"] = ds.f
+
+
+def load_elastic(path: str) -> ElasticDataset:
+    with h5py.File(path, "r") as h5:
+        return ElasticDataset(u=np.asarray(h5["u"]), f=np.asarray(h5["force"]))
+
+
 def save_isopoisson(ds: IsoPoissonDataset, path: str) -> None:
     with h5py.File(path, "w") as h5:
         h5["u"] = ds.u

@@ -71,6 +71,63 @@ def train_step(level: Level, state: TrainState, u_star, f, bc_value, bc_index,
     return TrainState(params, opt_state, key), loss
 
 
+# ---- elastic learned iterator (material-response family) ----
+#
+# Same protocol as the scalar HJacIterator — random init, random-k unrolled
+# sweeps, summed MSE vs the oracle displacement, Adadelta — with the 2x2
+# block-Jacobi smoother and the 2->2-channel H-Net (models/hnet.py).  The
+# reference trains only the scalar family; its elasticity exists as MATLAB
+# ground truths (Archive/FEM/matlab_elasticity/), so this realizes the
+# "learned iterator for elastic material response" capability end to end.
+
+
+def init_state_elastic(seed: int = 0, num_layers: int = 3) -> TrainState:
+    key = jax.random.PRNGKey(seed)
+    kp, key = jax.random.split(key)
+    params = hnet.init_params_elastic(kp, num_layers)
+    tx = make_optimizer()
+    return TrainState(params, tx.init(params), key)
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
+def train_step_elastic(level, state: TrainState, u_star, f, k_max: int = 20):
+    """One batch step on an ElasticLevel.  ``u_star``/``f``: (N, 2, H, W)
+    oracle displacements and raw body forces (zero Dirichlet ring)."""
+    key, k_k, k_u = jax.random.split(state.key, 3)
+    k = jax.random.randint(k_k, (), 1, k_max + 1)
+    tx = make_optimizer()
+
+    def loss_fn(params):
+        u0 = jax.random.normal(k_u, u_star.shape, u_star.dtype)
+        ff = stencil.apply_mass(f, level.h)  # consistent load per component
+        u_out = hnet.h_relax_elastic_dynamic(level, params, u0, ff, k, k_max)
+        return jnp.sum((u_out - u_star) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, key), loss
+
+
+def train_elastic(level, dataset, *, num_epochs: int = 100, batch_size: int = 5,
+                  seed: int = 0, k_max: int = 20, log_every: int = 50,
+                  verbose: bool = True):
+    """Elastic H-Net training loop.  Returns (params, per-epoch losses)."""
+    state = init_state_elastic(seed)
+    losses = []
+    for epoch in range(num_epochs):
+        total, nb = 0.0, 0
+        for batch in datasets.batches(dataset, batch_size, shuffle=True, seed=seed + epoch):
+            u_star, f = batch
+            state, loss = train_step_elastic(level, state, u_star, f, k_max=k_max)
+            total += float(loss)
+            nb += 1
+        losses.append(total / max(nb, 1))
+        if verbose and epoch % log_every == 0:
+            print(f"epoch {epoch}: loss {losses[-1]:.6f}")
+    return state.params, np.asarray(losses)
+
+
 def train(level: Level, dataset, *, num_epochs: int = 100, batch_size: int = 5,
           seed: int = 0, k_max: int = 20, log_every: int = 50, verbose: bool = True):
     """Full training loop.  Returns (params, per-epoch loss history)."""
