@@ -21,9 +21,15 @@ def interior_mask(n_nodes: int, dtype=jnp.float32) -> jax.Array:
 
 
 def reset_boundary(u: jax.Array, geo: jax.Array, bc_value: jax.Array | float = 0.0) -> jax.Array:
-    """Re-impose Dirichlet values: u * geo + bc_value.
-    (reference: FEANet/jacobi.py:27-29)"""
-    return u * geo + bc_value
+    """Re-impose Dirichlet values: u * geo + bc_value * (1 - geo).
+
+    The reference computes ``u * geometry_idx + boundary_value`` (reference:
+    FEANet/jacobi.py:27-29) where ``boundary_value`` is a field that is zero
+    at interior nodes (reference: FEANet/geo.py:22-30); masking by (1 - geo)
+    preserves that contract for scalar and interior-nonzero array inputs
+    alike (a bare ``+ bc_value`` silently perturbs the interior for any
+    nonzero scalar)."""
+    return u * geo + bc_value * (1.0 - geo)
 
 
 def node_coords(size: float, n_elems: int) -> tuple[np.ndarray, np.ndarray]:

@@ -151,13 +151,14 @@ def jacobi_step_elastic(table: jax.Array, pid: jax.Array | None, dinv: jax.Array
     ``dinv``: precomputed (H, W, 2, 2) inverse diagonal blocks; ``geo``:
     (H, W) interior mask applied to both components.
     """
-    u = u * geo[..., None, :, :] + bc_value
+    gm = geo[..., None, :, :]
+    u = u * gm + bc_value * (1.0 - gm)
     r = f - apply_elastic_stencil(table, pid, u)  # (..., 2, H, W)
     # Dinv @ r per node: (H, W, 2, 2) x (..., 2, H, W)
     rr = jnp.moveaxis(r, -3, -1)  # (..., H, W, 2)
     upd = jnp.einsum("...hwij,...hwj->...hwi", dinv, rr)
     u = u + omega * jnp.moveaxis(upd, -1, -3)
-    return u * geo[..., None, :, :] + bc_value
+    return u * gm + bc_value * (1.0 - gm)
 
 
 def elastic_interior_norm(r: jax.Array) -> jax.Array:

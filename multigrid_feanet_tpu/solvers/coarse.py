@@ -52,10 +52,32 @@ def dense_interior_matrix(level: Level) -> np.ndarray:
 
 
 def coarse_inverse(level: Level, dtype=None) -> jax.Array:
-    """Precompute inv(A_interior) for ``level`` as a device array."""
-    inv = np.linalg.inv(dense_interior_matrix(level))
+    """Precompute inv(A_interior) for ``level`` as a device array.
+
+    Intended for truncation points n <= 65 (interior m = n-1 <= 64, i.e. a
+    <=4096^2 dense inverse); larger levels work but the memory/assembly cost
+    grows as n^4 and, cast to f32, exactness degrades with conditioning — a
+    warning fires in both cases (1-norm condition estimate, free since the
+    inverse is in hand).
+    """
+    import warnings
+
+    m = level.n - 1
+    if m > 64:
+        warnings.warn(
+            f"coarse_inverse on an n={level.n} level ({m}^2 interior nodes): "
+            "dense inverse is O(n^4) memory; intended for n <= 65 truncation "
+            "points", stacklevel=2)
+    A = dense_interior_matrix(level)
+    inv = np.linalg.inv(A)
+    cond1 = np.abs(A).sum(0).max() * np.abs(inv).sum(0).max()
     if dtype is None:
         dtype = level.geo.dtype
+    if np.dtype(dtype) == np.float32 and cond1 > 1e6:
+        warnings.warn(
+            f"coarse_inverse: cond_1(A) ~ {cond1:.2e}; f32 coarse solves may "
+            "lose exactness (use a smaller truncation point or f64)",
+            stacklevel=2)
     return jnp.asarray(inv, dtype=dtype)
 
 

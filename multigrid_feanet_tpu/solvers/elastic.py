@@ -74,12 +74,13 @@ def relax(level: ElasticLevel, u, f, num_sweeps: int, bc_value=0.0, omega=2.0 / 
     import jax.numpy as jnp
 
     for _ in range(num_sweeps):
-        u = u * level.geo[..., None, :, :] + bc_value
+        gm = level.geo[..., None, :, :]
+        u = u * gm + bc_value * (1.0 - gm)
         r = f - level.apply(u)
         rr = jnp.moveaxis(r, -3, -1)
         upd = jnp.einsum("...hwij,...hwj->...hwi", level.dinv, rr)
         u = u + omega * jnp.moveaxis(upd, -1, -3)
-        u = u * level.geo[..., None, :, :] + bc_value
+        u = u * gm + bc_value * (1.0 - gm)
     return u
 
 

@@ -145,8 +145,14 @@ def fmg(hier: GridHierarchy, f: jax.Array, nu1: int = 1, nu2: int = 1,
     lvc = levels[-1]
     u = jnp.zeros(fs[-1].shape, dtype=f.dtype)
     if coarse_inv is not None and L > 1:
-        u = coarse.coarse_solve(coarse_inv, fs[-1]).astype(f.dtype)
-        u = reset_boundary(u, lvc.geo, bc_at(L - 1))
+        # Fold a (scalar) Dirichlet value into the interior RHS before the
+        # zero-BC direct solve: with u = u_i + u_bc (u_bc = bc on the ring,
+        # zero inside), A u_i = f - A u_bc on the interior — the partition
+        # solve.  For bc == 0 this is exact and costs one tiny coarse apply.
+        bc_c = jnp.asarray(bc_at(L - 1), f.dtype)
+        u_bc = (1.0 - lvc.geo) * bc_c
+        u_i = coarse.coarse_solve(coarse_inv, fs[-1] - lvc.apply(u_bc))
+        u = (u_i + u_bc).astype(f.dtype)
     else:
         u = relax(lvc, u, fs[-1], coarse_sweeps, bc_at(L - 1), omega)
     for l in range(L - 2, -1, -1):

@@ -82,7 +82,7 @@ def test_fmg_beats_vcycles_from_zero():
     F = jnp.ones((65, 65), jnp.float32)
     f = stencil.apply_mass(F, hier.finest.h)
 
-    u_fmg = fmg_u = multigrid.fmg(hier, f, nu1=1, nu2=1, cycles_per_level=1)
+    u_fmg = multigrid.fmg(hier, f, nu1=1, nu2=1, cycles_per_level=1)
     res_fmg = float(interior_norm(f - hier.finest.apply(u_fmg)))
 
     u_v, hist = multigrid.solve(hier, f, eps=None, max_cycles=1)
