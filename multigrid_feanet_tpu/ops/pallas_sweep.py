@@ -1,0 +1,497 @@
+"""Round-2 Pallas TPU kernels: lagged-pipeline element-factored stencil sweeps
+with fused multigrid transfer legs.
+
+This module supersedes the round-1 manual-DMA kernels (ops/pallas_stencil.py,
+kept for the temporally-fused k-sweep path) following the memory-path
+investigation in docs/kernel_notes_r2.md:
+
+1. **Pure pipeline, no manual DMA.** Every input rides the automatic Pallas
+   pipeline (BlockSpec with *static* index maps — traced maps disable
+   multi-buffering).  The +-1 row halo that BlockSpecs cannot express comes
+   from a persistent VMEM cache of the previous block (*lagged pipeline*):
+   the u input runs one block ahead of the output, and a (R+2)-row scratch
+   carries the previous block plus one row.  Measured: the pipeline path
+   reaches ~935 GB/s where manual double-buffered DMA caps at ~490.
+
+2. **Donated destination.** Each sweep takes a same-shape ``dst`` buffer
+   donated via ``input_output_aliases``.  Without it, XLA inserts a
+   full-buffer copy per loop iteration to pin the kernel output into the
+   `while`/`scan` carry slot (measured ~2x sweep cost in-loop).  Solve
+   loops ping-pong two buffers so every buffer returns to its carry slot.
+
+3. **Element-factored operator.**  For the bi-material Q1 FEM stencil
+   (reference math: FEANet/mesh.py:103-117, FEANet/model.py:22-30),
+
+       A u(p) = sum_e Q_e * [ (5/6) u(p) - (1/6) u_opp,e - (1/6) s_e ],
+
+   where e ranges over the 4 elements around node p, Q_e = a0 + da*phase(e),
+   s_e is the sum of e's 4 corner nodes and u_opp,e the corner opposite p.
+   This costs ~35 vector ops/tile vs ~82 for the 16-pattern bitplane form,
+   and consumes the raw element *phase* bitmap (int8) instead of per-node
+   pattern ids.  The Jacobi diagonal is d = (2/3) sum_e Q_e.
+
+4. **Stride-lane coarse levels.**  Mosaic cannot lower lane-stride-2
+   reshapes, so coarse grids are never lane-compacted: level l keeps the
+   full lane width with data every ``2^l`` lanes.  Restriction emits its
+   output *in place* at stride ``2s`` (full-weighting lane mixing is two
+   ``pltpu.roll``s by s), prolongation reads stride-``2s`` data inside the
+   fine level's kernel directly, and only the Pallas<->XLA boundary (below
+   the coarse threshold) compacts lanes.  Rows stay compact at every level
+   (sublane-stride reshapes do lower).
+
+Fused V-cycle legs (cutting the round-1 ~6.6 ms/cycle at 4097^2, of which
+~2/3 was pad/unpad + separate XLA transfer passes):
+
+- ``sweep``: one weighted-Jacobi sweep; also emits the *pre-update* interior
+  residual norm^2 for free (= the post-cycle residual of the previous cycle
+  when called as the first smoothing step).
+- ``restrict_residual``: residual + x4-scaled full-weighting restriction in
+  one pass — emits the coarse-level RHS directly in the coarse level's
+  stride-2s ghost-block layout (reference cycle math:
+  MM_Model_convergence.ipynb cell 3 ``Restrict`` + h^2 scaling).
+- ``psweep``: coarse-correction prolongation (bilinear, align-corners,
+  interior-masked — the reference's ``Interpolate`` + BC reset) fused into
+  the first post-smoothing sweep.
+
+Boundary semantics: updates/corrections apply only at *globally interior*
+nodes; boundary nodes keep their current value, so arbitrary Dirichlet data
+is handled by initializing the boundary ring once (matches the reference's
+per-sweep reset, FEANet/jacobi.py:27-47).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# In-kernel math helpers.
+# ---------------------------------------------------------------------------
+
+
+def _roll_p(x, s):
+    """out[.., q] = x[.., q + s]."""
+    return pltpu.roll(x, x.shape[-1] - s, 1)
+
+
+def _roll_m(x, s):
+    """out[.., q] = x[.., q - s]."""
+    return pltpu.roll(x, s, 1)
+
+
+def _apply_hom(u_win, L, a0, s):
+    """Homogeneous A u on node rows [1, L-1) of an (L, Wp) u window:
+    A u = a0 * (3 u - (1/3) * 3x3-window sum)."""
+    t3 = u_win + _roll_p(u_win, s) + _roll_m(u_win, s)
+    s9 = t3[0 : L - 2, :] + t3[1 : L - 1, :] + t3[2:L, :]
+    uc = u_win[1 : L - 1, :]
+    return (3.0 * a0) * uc - (a0 / 3.0) * s9, None
+
+
+def _apply_bim(u_win, ph_win, L, a0, da, s):
+    """Bi-material element-factored A u on node rows [1, L-1) of an (L, Wp)
+    u window.  ``ph_win``: (L-1, Wp) element phases; row k holds the element
+    row between u rows k and k+1, each element stored at the lane of its
+    *west-south* corner node.  Returns (A u, C4) with C4 the per-node sum of
+    the 4 surrounding Q (the Jacobi diagonal is (2/3) C4)."""
+    Q = ph_win.astype(jnp.float32) * da + a0  # (L-1, Wp)
+    ul = _roll_p(u_win, s)  # u[.., q+s]
+    t = u_win + ul
+    s_e = t[0 : L - 1, :] + t[1:L, :]  # per-element 4-corner sum
+    P = Q * s_e
+    Pc = P + _roll_m(P, s)
+    sigP = Pc[0 : L - 2, :] + Pc[1 : L - 1, :]  # sum_e Q_e s_e at nodes
+    Qc = Q + _roll_m(Q, s)
+    C4 = Qc[0 : L - 2, :] + Qc[1 : L - 1, :]
+    # opposite-corner terms: node p's SW element contributes u(p-1, q-s), SE
+    # u(p-1, q+s), NW u(p+1, q-s), NE u(p+1, q+s), each weighted by its Q.
+    D = Q * u_win[0 : L - 1, :]
+    E2 = Q * ul[0 : L - 1, :]
+    E3 = Q * u_win[1:L, :]
+    E4 = Q * ul[1:L, :]
+    Dr = _roll_m(D, s)
+    E3r = _roll_m(E3, s)
+    sigD = (Dr[0 : L - 2, :] + E2[0 : L - 2, :]) + (E3r[1 : L - 1, :] + E4[1 : L - 1, :])
+    uc = u_win[1 : L - 1, :]
+    au = (5.0 / 6.0) * (uc * C4) - (1.0 / 6.0) * (sigD + sigP)
+    return au, C4
+
+
+def _interior_mask(row0, L, Wp, H, W, s):
+    """Mask of globally-interior nodes over L rows starting at global node
+    row ``row0``: node (i, j), 1 <= i <= H-2, 1 <= j <= W-2, lives at lane
+    j*s; off-grid lanes are masked out."""
+    gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (L, Wp), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (L, Wp), 1)
+    m = (gr >= 1) & (gr <= H - 2) & (gc >= s) & (gc <= (W - 2) * s)
+    if s > 1:
+        m &= (gc & (s - 1)) == 0
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: fused Jacobi sweep / residual, optional fused prolongation-add.
+# ---------------------------------------------------------------------------
+
+
+def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, u_out, rsq_ref,
+                  cache, phc, ucc, *, R, H, W, Wp, a0, da, omega, s,
+                  bim, mode, with_corr):
+    """Grid step i emits node rows [(i-1)R, iR).
+
+    Pipeline blocks (ghost-block layouts, data row g at buffer row g + R_lv):
+      u_ref:  block i+1 -> node rows [iR, (i+1)R)         (lagged by one)
+      f_ref:  block i   -> node rows [(i-1)R, iR)
+      ph_ref: block i   -> element rows [(i-1)R, iR)
+      uc_ref: (psweep) R/2-row coarse block -> coarse rows [iR/2, (i+1)R/2)
+    Cache invariants at the start of step i:
+      cache[0 : R+1]  = u node rows [(i-1)R - 1, iR)
+      phc[0]          = element row (i-1)R - 1
+      ucc[0 : R/2+1]  = coarse rows [(i-1)R/2 - 1, iR/2)
+    """
+    i = pl.program_id(0)
+    row0 = (i - 1) * R - 1  # global node row of window row 0
+
+    cache[R + 1 : R + 2, :] = u_ref[0:1, :]
+    u_win = cache[...]  # (R+2, Wp) = node rows [row0, row0 + R + 2)
+
+    if with_corr:
+        ucc[R // 2 + 1 : R // 2 + 2, :] = uc_ref[0:1, :]
+        cw = ucc[...]  # (R/2+2, Wp) = coarse rows [(i-1)R/2 - 1, iR/2]
+        # rows: window row m = fine row row0 + m; row0 is odd, so even m are
+        # fine-odd rows (midpoints) and odd m are injections.
+        mids = 0.5 * (cw[0 : R // 2 + 1, :] + cw[1 : R // 2 + 2, :])
+        inj = cw[1 : R // 2 + 2, :]
+        corr_r = jnp.stack([mids, inj], axis=1).reshape(R + 2, Wp)
+        # lanes: coarse data every 2s lanes; fine lanes at odd multiples of
+        # s take the lane midpoint, coarse lanes inject in place.
+        lane_mid = 0.5 * (_roll_m(corr_r, s) + _roll_p(corr_r, s))
+        gc = jax.lax.broadcasted_iota(jnp.int32, (R + 2, Wp), 1)
+        corr = jnp.where((gc & (2 * s - 1)) == 0, corr_r, lane_mid)
+        corr = jnp.where(_interior_mask(row0, R + 2, Wp, H, W, s), corr, 0.0)
+        u_win = u_win + corr
+
+    if bim:
+        ph_win = jnp.concatenate([phc[...], ph_ref[...]], axis=0)  # (R+1, Wp)
+        au, C4 = _apply_bim(u_win, ph_win, R + 2, a0, da, s)
+        d = (2.0 / 3.0) * C4
+    else:
+        au, _ = _apply_hom(u_win, R + 2, a0, s)
+        d = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+
+    r = f_ref[...] - au
+    r = jnp.where(_interior_mask(row0 + 1, R, Wp, H, W, s), r, 0.0)
+    if mode == "sweep":
+        u_out[...] = u_win[1 : R + 1, :] + (omega / d) * r
+    else:  # residual
+        u_out[...] = r
+
+    @pl.when(i > 0)
+    def _():
+        rsq_ref[i - 1, 0] = jnp.sum(r * r)
+
+    # roll caches forward
+    cache[0:1, :] = jnp.where(i == 0, jnp.zeros((1, Wp), jnp.float32),
+                              cache[R : R + 1, :])
+    cache[1 : R + 1, :] = u_ref[...]
+    if bim:
+        phc[0:1, :] = ph_ref[R - 1 : R, :]
+    if with_corr:
+        ucc[0:1, :] = jnp.where(i == 0, jnp.zeros((1, Wp), jnp.float32),
+                                ucc[R // 2 : R // 2 + 1, :])
+        ucc[1 : R // 2 + 1, :] = uc_ref[...]
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: fused residual + x4-scaled full-weighting restriction.
+# ---------------------------------------------------------------------------
+
+
+def _rr_kernel(u_ref, f_ref, ph_ref, fc_out, rsq_ref, cache, fch, phc, *,
+               R, H, W, Wp, a0, da, s, bim):
+    """Grid step i emits coarse node rows [(i-1)R/2, iR/2) of f_c = 4*FW(r).
+
+    Needs residual rows [(i-1)R - 1, iR - 1] (R+1 rows), hence u rows
+    [(i-1)R - 2, iR] and f rows [(i-1)R - 1, iR).
+    Pipeline: u block i+1 (node rows [iR, (i+1)R)); f, ph block i.
+    Cache invariants at the start of step i:
+      cache[0 : R+2] = u node rows [(i-1)R - 2, iR)
+      fch[0]         = f node row (i-1)R - 1
+      phc[0 : 2]     = element rows [(i-1)R - 2, (i-1)R)
+    """
+    i = pl.program_id(0)
+    row0 = (i - 1) * R - 2  # global node row of u-window row 0
+
+    cache[R + 2 : R + 3, :] = u_ref[0:1, :]
+    u_win = cache[...]  # (R+3, Wp)
+
+    if bim:
+        ph_win = jnp.concatenate([phc[...], ph_ref[...]], axis=0)  # (R+2, Wp)
+        au, _ = _apply_bim(u_win, ph_win, R + 3, a0, da, s)
+    else:
+        au, _ = _apply_hom(u_win, R + 3, a0, s)
+    # au covers node rows [(i-1)R - 1, iR]  -> R+1 rows
+    f_win = jnp.concatenate([fch[...], f_ref[...]], axis=0)  # same rows
+    r = f_win - au
+    r = jnp.where(_interior_mask(row0 + 1, R + 1, Wp, H, W, s), r, 0.0)
+
+    @pl.when(i > 0)
+    def _():
+        # rows [(i-1)R - 1, iR - 1): disjoint across steps, full coverage
+        rsq_ref[i - 1, 0] = jnp.sum(r[0:R, :] * r[0:R, :])
+
+    # row full-weighting: coarse row I <- fine rows 2I-1, 2I, 2I+1 with
+    # weights (1, 2, 1).  Window row m = fine row (i-1)R - 1 + m, so local
+    # coarse c in [0, R/2) uses window rows 2c, 2c+1, 2c+2.
+    A = r[0:R, :].reshape(R // 2, 2, Wp)
+    B = jnp.concatenate([A[1:, 0, :], r[R : R + 1, :]], axis=0)
+    rows_fw = A[:, 0, :] + 2.0 * A[:, 1, :] + B  # (R/2, Wp)
+    # lane full-weighting at stride s; output lands on the 2s lane grid
+    lanes_fw = 2.0 * rows_fw + _roll_m(rows_fw, s) + _roll_p(rows_fw, s)
+    fc = lanes_fw * (4.0 / 16.0)  # FW/16 then the reference's x4 h^2 scaling
+    Hc = (H - 1) // 2 + 1
+    Wc = (W - 1) // 2 + 1
+    crow0 = (i - 1) * (R // 2)
+    fc_out[...] = jnp.where(
+        _interior_mask(crow0, R // 2, Wp, Hc, Wc, 2 * s), fc, 0.0)
+
+    # roll caches forward
+    cache[0:2, :] = jnp.where(i == 0, jnp.zeros((2, Wp), jnp.float32),
+                              cache[R : R + 2, :])
+    cache[2 : R + 2, :] = u_ref[...]
+    fch[0:1, :] = f_ref[R - 1 : R, :]
+    if bim:
+        phc[0:2, :] = ph_ref[R - 2 : R, :]
+
+
+# ---------------------------------------------------------------------------
+# Module-level jitted entry points (static config via hashable kwargs).
+# ---------------------------------------------------------------------------
+
+_DUMMY_SPEC = pl.BlockSpec((32, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _lagged_spec(R, Wp, off):
+    return pl.BlockSpec((R, Wp), lambda i, o=off: (i + o, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "mode", "R_up", "interpret"))
+def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, *, R, H, W, Wp, a0, da,
+               omega, s, mode, R_up, interpret):
+    nb = (u_pad.shape[0] - 2 * R) // R
+    bim = ph_pad is not None
+    with_corr = uc_pad is not None
+    kern = functools.partial(
+        _sweep_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega,
+        s=s, bim=bim, mode=("sweep" if with_corr else mode),
+        with_corr=with_corr)
+    in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 0)]
+    args = [u_pad, f_pad]
+    if bim:
+        in_specs.append(_lagged_spec(R, Wp, 0))
+        args.append(ph_pad)
+    else:
+        in_specs.append(_DUMMY_SPEC)
+        args.append(jnp.zeros((32, 128), jnp.int8))
+    scratch = [
+        pltpu.VMEM((R + 2, Wp), jnp.float32),
+        pltpu.VMEM((1, Wp), jnp.int8),
+    ]
+    if with_corr:
+        # coarse buffer: ghost R_up rows; need coarse rows [iR/2, (i+1)R/2)
+        # = buffer rows [iR/2 + R_up, ...): block index i + 2 R_up / R.
+        assert (2 * R_up) % R == 0
+        in_specs.append(_lagged_spec(R // 2, Wp, 2 * R_up // R))
+        args.append(uc_pad)
+        scratch.append(pltpu.VMEM((R // 2 + 2, Wp), jnp.float32))
+    else:
+        in_specs.append(_DUMMY_SPEC)
+        args.append(jnp.zeros((32, 128), jnp.float32))
+        scratch.append(pltpu.VMEM((8, 128), jnp.float32))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    args.append(dst)
+    out, rsq = pl.pallas_call(
+        kern,
+        grid=(nb + 1,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((R, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(u_pad.shape, u_pad.dtype),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        input_output_aliases={4: 0},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(35 if bim else 12) * (u_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=(13 if bim else 12) * (u_pad.shape[0] - 2 * R) * Wp,
+            transcendentals=0,
+        ),
+    )(*args)
+    return out, jnp.sum(rsq)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "H", "W", "Wp", "a0", "da", "s", "Rc", "interpret"))
+def _run_rr(u_pad, f_pad, ph_pad, *, R, H, W, Wp, a0, da, s, Rc, interpret):
+    nb = (u_pad.shape[0] - 2 * R) // R
+    bim = ph_pad is not None
+    Hc = (H - 1) // 2 + 1
+    Hpc = _round_up(Hc, Rc)
+    out_rows = Hpc + 2 * Rc
+    assert (2 * Rc) % R == 0
+    idx_off = 2 * Rc // R - 1
+    assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
+    kern = functools.partial(_rr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da,
+                             s=s, bim=bim)
+    in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 0)]
+    args = [u_pad, f_pad]
+    if bim:
+        in_specs.append(_lagged_spec(R, Wp, 0))
+        args.append(ph_pad)
+    else:
+        in_specs.append(_DUMMY_SPEC)
+        args.append(jnp.zeros((32, 128), jnp.int8))
+    fc, rsq = pl.pallas_call(
+        kern,
+        grid=(nb + 1,),
+        in_specs=in_specs,
+        out_specs=[
+            _lagged_spec(R // 2, Wp, idx_off),
+            pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((out_rows, Wp), u_pad.dtype),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R + 3, Wp), jnp.float32),
+            pltpu.VMEM((1, Wp), jnp.float32),
+            pltpu.VMEM((2, Wp), jnp.int8),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(40 if bim else 16) * (u_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=10 * (u_pad.shape[0] - 2 * R) * Wp,
+            transcendentals=0,
+        ),
+    )(*args)
+    return fc, jnp.sum(rsq)
+
+
+# ---------------------------------------------------------------------------
+# Host-side level wrapper.
+# ---------------------------------------------------------------------------
+
+
+class PallasLevel:
+    """Kernels plus the ghost-block stride-lane layout for one level.
+
+    Level fields live on ``(Hp + 2R, Wp)`` buffers: node row g at buffer row
+    ``g + R``, node col j at lane ``j * stride``.  ``phase`` is this level's
+    (n, n) element phase bitmap (None = homogeneous), padded once with
+    element (p, q) at buffer row p + R, lane q*stride.
+    """
+
+    def __init__(self, n: int, stride: int = 1, phase=None,
+                 coefficients=(1.0, 20.0), omega: float = 2.0 / 3.0,
+                 Wp: Optional[int] = None, rows: int = 64,
+                 rows_next: Optional[int] = None,
+                 interpret: Optional[bool] = None, dtype=jnp.float32):
+        self.n = n
+        self.H = self.W = n + 1
+        self.s = int(stride)
+        self.R = int(rows)
+        self.Rc = int(rows_next if rows_next is not None else rows)
+        assert self.R % 32 == 0, "row blocks must be int8-tile aligned"
+        assert (2 * self.Rc) % self.R == 0, "coarse ghost must align to R/2"
+        self.Wp = Wp or _round_up(self.W * self.s, 128)
+        assert (self.W - 1) * self.s < self.Wp
+        self.Hp = _round_up(self.H, self.R)
+        self.nb = self.Hp // self.R
+        self.a0 = float(coefficients[0])
+        self.da = (float(coefficients[1]) - float(coefficients[0])
+                   if phase is not None else 0.0)
+        self.omega = float(omega)
+        self.dtype = dtype
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = bool(interpret)
+        self.bim = phase is not None
+        self.ph_pad = self.pad(jnp.asarray(phase), jnp.int8) if self.bim else None
+
+    # ---- layout ----
+
+    @property
+    def buf_shape(self):
+        return (self.Hp + 2 * self.R, self.Wp)
+
+    def zeros(self):
+        return jnp.zeros(self.buf_shape, self.dtype)
+
+    def pad(self, x, dtype=None):
+        """Logical (H|n, W|n) field -> ghost-block stride-lane buffer."""
+        dtype = dtype or self.dtype
+        h, w = x.shape
+        out = jnp.zeros(self.buf_shape, dtype)
+        return out.at[self.R : self.R + h, 0 : w * self.s : self.s].set(
+            x.astype(dtype))
+
+    def unpad(self, x):
+        return x[self.R : self.R + self.H, 0 : (self.W - 1) * self.s + 1 : self.s]
+
+    # ---- kernels ----
+
+    def _cfg(self):
+        return dict(R=self.R, H=self.H, W=self.W, Wp=self.Wp, a0=self.a0,
+                    da=self.da, omega=self.omega, s=self.s,
+                    interpret=self.interpret)
+
+    def sweep(self, u_pad, f_pad, dst=None):
+        """One fused weighted-Jacobi sweep -> (u_new, rsq).  ``rsq`` is the
+        *pre-update* interior squared residual norm.  ``dst`` is a donated
+        same-shape buffer (pass the solve loop's ping-pong spare)."""
+        if dst is None:
+            dst = self.zeros()
+        return _run_sweep(u_pad, f_pad, self.ph_pad, None, dst,
+                          mode="sweep", R_up=0, **self._cfg())
+
+    def residual(self, u_pad, f_pad, dst=None):
+        """Interior-masked residual f - A u (+ its norm^2)."""
+        if dst is None:
+            dst = self.zeros()
+        return _run_sweep(u_pad, f_pad, self.ph_pad, None, dst,
+                          mode="residual", R_up=0, **self._cfg())
+
+    def psweep(self, u_pad, f_pad, uc_pad, R_up: Optional[int] = None, dst=None):
+        """Fused (u += prolong(u_c); one Jacobi sweep) -> (u_new, rsq).
+        ``uc_pad``: the coarse level's buffer (stride 2s, ghost R_up rows)."""
+        if dst is None:
+            dst = self.zeros()
+        return _run_sweep(u_pad, f_pad, self.ph_pad, uc_pad, dst,
+                          mode="sweep", R_up=int(R_up if R_up is not None else self.Rc),
+                          **self._cfg())
+
+    def restrict_residual(self, u_pad, f_pad):
+        """Fused residual + x4 full-weighting restriction -> (f_c, rsq).
+        ``f_c`` is a fresh buffer in the coarse level's layout (stride 2s,
+        ghost Rc rows); ``rsq`` is this level's squared residual norm."""
+        cfg = self._cfg()
+        cfg.pop("omega")
+        return _run_rr(u_pad, f_pad, self.ph_pad, Rc=self.Rc, **cfg)

@@ -1,0 +1,73 @@
+"""Interpret-mode parity tests for the round-2 lagged-pipeline Pallas kernels
+(ops/pallas_sweep.py) against the XLA bitplane ops.
+
+Covers the stride-lane layout at strides 1/2/4 (coarse multigrid levels keep
+full lane width with data every 2^l lanes), homogeneous and bi-material
+operators, and all four fused legs: sweep, residual, residual+restriction,
+prolongation+sweep.  Reference math: FEANet/mesh.py:103-117,
+FEANet/model.py:22-30, MM_Model_convergence.ipynb cell 3.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from multigrid_feanet_tpu.core.problem import Problem, build_level
+from multigrid_feanet_tpu.ops.pallas_sweep import PallasLevel
+from multigrid_feanet_tpu.ops.transfer import restrict_full_weighting, prolong_bilinear
+from multigrid_feanet_tpu.solvers import jacobi as jac
+
+TOL = 2e-5  # relative to field scale; reassociated FMA vs bitplane form
+
+
+def _rel_err(got, want):
+    got, want = np.asarray(got), np.asarray(want)
+    scale = max(1.0, float(np.max(np.abs(want))))
+    return float(np.max(np.abs(got - want))) / scale
+
+
+@pytest.mark.parametrize("bim", [False, True], ids=["hom", "bim"])
+@pytest.mark.parametrize("s,R", [(1, 32), (2, 32), (4, 64)])
+def test_v2_kernels_parity(bim, s, R):
+    rng = np.random.default_rng(0)
+    n = 128 // s
+    H = n + 1
+    Wp = 256
+    prob = Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5) if bim else None)
+    lv = build_level(prob, n)
+    phase = prob.phase(n) if bim else None
+    pl_lv = PallasLevel(n, stride=s, phase=phase, Wp=Wp, rows=R,
+                        rows_next=R, interpret=True)
+    u = jnp.asarray(rng.standard_normal((H, H)), jnp.float32) * lv.geo
+    f = jnp.asarray(rng.standard_normal((H, H)), jnp.float32)
+    u_pad, f_pad = pl_lv.pad(u), pl_lv.pad(f)
+    r_ref = (f - lv.apply(u)) * lv.geo
+    rsq_ref = float(jnp.sum(r_ref * r_ref))
+
+    # fused weighted-Jacobi sweep + free pre-update residual norm
+    got, rsq = pl_lv.sweep(u_pad, f_pad)
+    want = jac.jacobi_step(lv, u, f, 0.0, 2.0 / 3.0)
+    assert _rel_err(pl_lv.unpad(got), want) < TOL
+    assert abs(float(rsq) - rsq_ref) / max(rsq_ref, 1.0) < TOL
+
+    # interior-masked residual
+    got_r, _ = pl_lv.residual(u_pad, f_pad)
+    assert _rel_err(pl_lv.unpad(got_r), r_ref) < TOL
+
+    # fused residual + x4 full-weighting restriction into the coarse
+    # stride-2s layout (reference: interior crop -> FW/16 conv -> x4)
+    fc, rsq3 = pl_lv.restrict_residual(u_pad, f_pad)
+    nc = n // 2
+    pl_c = PallasLevel(nc, stride=2 * s, phase=None, Wp=Wp, rows=R,
+                       rows_next=R, interpret=True)
+    want_fc = 4.0 * restrict_full_weighting(r_ref)
+    assert _rel_err(pl_c.unpad(fc), want_fc) < TOL
+    assert abs(float(rsq3) - rsq_ref) / max(rsq_ref, 1.0) < TOL
+
+    # fused (u += bilinear prolongation of coarse correction; sweep)
+    uc = jnp.asarray(rng.standard_normal((nc + 1, nc + 1)), jnp.float32)
+    uc_pad = pl_c.pad(uc)
+    got_p, _ = pl_lv.psweep(u_pad, f_pad, uc_pad, R_up=R)
+    u_corr = u + prolong_bilinear(uc, lv.geo)
+    want_p = jac.jacobi_step(lv, u_corr, f, 0.0, 2.0 / 3.0)
+    assert _rel_err(pl_lv.unpad(got_p), want_p) < TOL
