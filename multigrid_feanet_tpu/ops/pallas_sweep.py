@@ -131,13 +131,17 @@ def _apply_bim(u_win, ph_win, L, a0, da, s):
 def _interior_mask(row0, L, Wp, H, W, s):
     """Mask of globally-interior nodes over L rows starting at global node
     row ``row0``: node (i, j), 1 <= i <= H-2, 1 <= j <= W-2, lives at lane
-    j*s; off-grid lanes are masked out."""
-    gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (L, Wp), 0)
-    gc = jax.lax.broadcasted_iota(jnp.int32, (L, Wp), 1)
-    m = (gr >= 1) & (gr <= H - 2) & (gc >= s) & (gc <= (W - 2) * s)
+    j*s; off-grid lanes are masked out.
+
+    Decomposed into a (L, 1) row mask x (1, Wp) lane mask so Mosaic never
+    materializes (L, Wp) int32 iotas (VMEM stack pressure at large blocks)."""
+    gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    rm = (gr >= 1) & (gr <= H - 2)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+    lm = (gc >= s) & (gc <= (W - 2) * s)
     if s > 1:
-        m &= (gc & (s - 1)) == 0
-    return m
+        lm &= (gc & (s - 1)) == 0
+    return rm & lm
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +181,7 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, u_out, rsq_ref,
         # lanes: coarse data every 2s lanes; fine lanes at odd multiples of
         # s take the lane midpoint, coarse lanes inject in place.
         lane_mid = 0.5 * (_roll_m(corr_r, s) + _roll_p(corr_r, s))
-        gc = jax.lax.broadcasted_iota(jnp.int32, (R + 2, Wp), 1)
+        gc = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
         corr = jnp.where((gc & (2 * s - 1)) == 0, corr_r, lane_mid)
         corr = jnp.where(_interior_mask(row0, R + 2, Wp, H, W, s), corr, 0.0)
         u_win = u_win + corr
@@ -288,9 +292,10 @@ def _lagged_spec(R, Wp, off):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "mode", "R_up", "interpret"))
+    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "mode", "R_up", "interpret",
+    "vmem_mb"))
 def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, *, R, H, W, Wp, a0, da,
-               omega, s, mode, R_up, interpret):
+               omega, s, mode, R_up, interpret, vmem_mb=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     with_corr = uc_pad is not None
@@ -338,6 +343,8 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, *, R, H, W, Wp, a0, da,
         scratch_shapes=scratch,
         input_output_aliases={4: 0},
         interpret=interpret,
+        compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb) << 20)),
         cost_estimate=pl.CostEstimate(
             flops=(35 if bim else 12) * (u_pad.shape[0] - 2 * R) * Wp,
             bytes_accessed=(13 if bim else 12) * (u_pad.shape[0] - 2 * R) * Wp,
@@ -479,14 +486,15 @@ class PallasLevel:
         return _run_sweep(u_pad, f_pad, self.ph_pad, None, dst,
                           mode="residual", R_up=0, **self._cfg())
 
-    def psweep(self, u_pad, f_pad, uc_pad, R_up: Optional[int] = None, dst=None):
+    def psweep(self, u_pad, f_pad, uc_pad, R_up: Optional[int] = None, dst=None,
+               vmem_mb: Optional[int] = None):
         """Fused (u += prolong(u_c); one Jacobi sweep) -> (u_new, rsq).
         ``uc_pad``: the coarse level's buffer (stride 2s, ghost R_up rows)."""
         if dst is None:
             dst = self.zeros()
         return _run_sweep(u_pad, f_pad, self.ph_pad, uc_pad, dst,
                           mode="sweep", R_up=int(R_up if R_up is not None else self.Rc),
-                          **self._cfg())
+                          vmem_mb=vmem_mb, **self._cfg())
 
     def restrict_residual(self, u_pad, f_pad):
         """Fused residual + x4 full-weighting restriction -> (f_c, rsq).

@@ -1,0 +1,216 @@
+"""Fully-fused Pallas V-cycle solver (round 2).
+
+The round-1 ``PallasHierarchy`` (solvers/pallas_mg.py) spends ~2/3 of each
+4097^2 cycle outside the smoother: a separate residual pass, unpad -> XLA
+restriction -> re-pad between every pair of Pallas levels, and an XLA
+prolongation pass, plus a hidden full-buffer copy per ``while_loop``
+iteration that pins each kernel output into its carry slot.  This module
+rebuilds the cycle on the round-2 kernels (ops/pallas_sweep.py):
+
+- Every fine level runs three fused kernels per V(1,1) cycle — ``sweep``,
+  ``restrict_residual`` (residual + x4 full-weighting emitted directly in
+  the coarse level's layout), and ``psweep`` (bilinear prolongation-add
+  fused into the first post-smoothing sweep).  No pad/unpad between Pallas
+  levels: coarse levels keep the finest level's lane width with data every
+  2^l lanes (stride-lane layout), so transfers are in-register lane rolls.
+- Carry copies are eliminated by donation ping-pong: each sweep writes into
+  a donated spare buffer (``input_output_aliases``), and a V(1,1) cycle
+  performs an even number of level-0 sweeps so both buffers return to their
+  ``while_loop`` carry slots.
+- The convergence test rides the pre-update residual norm emitted free by
+  the first pre-smoothing sweep (= the post-cycle residual of the previous
+  cycle), so a solve is ONE compiled while_loop with zero extra residual
+  passes; the host syncs once per solve.
+
+Below ``pallas_threshold`` the hierarchy hands off to the XLA bitplane ops
+(compact layout) with an optional dense-inverse direct solve at the
+coarsest level; the handoff pad/unpad uses single-axis strided slices on a
+small grid (cheap — see ops/transfer.py notes).
+
+Cycle math is identical to solvers/multigrid.py and hence the reference's
+``rec_V_cycle`` (MM_Model_convergence.ipynb cell 3): relax nu1 ->
+f_c = 4*FW(residual) -> recurse (zero initial guess) -> add BC-reset
+bilinear prolongation -> relax nu2; coarsest level relax-only or direct.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multigrid_feanet_tpu.core.geometry import reset_boundary
+from multigrid_feanet_tpu.core.problem import Problem, GridHierarchy
+from multigrid_feanet_tpu.ops.pallas_sweep import PallasLevel
+from multigrid_feanet_tpu.ops.transfer import restrict_full_weighting, prolong_bilinear
+from multigrid_feanet_tpu.solvers import jacobi as jac
+from multigrid_feanet_tpu.solvers.jacobi import DEFAULT_OMEGA
+
+
+class PallasHierarchyV2:
+    """Grid hierarchy whose levels with ``n >= pallas_threshold`` run the
+    fused round-2 Pallas kernels in the shared stride-lane layout; smaller
+    levels run the XLA bitplane ops in compact layout.
+
+    ``rows`` is the kernel row-block size (ghost-block layout unit) shared
+    by all Pallas levels.  ``psweep_vmem_mb`` raises the Mosaic scoped-VMEM
+    limit for the prolongation-fused sweep only (its coarse-input stream
+    overflows the default 16 MB at rows=64; measured same-speed at 24 MB).
+    """
+
+    def __init__(self, problem: Problem, num_levels: Optional[int] = None,
+                 omega: float = DEFAULT_OMEGA, pallas_threshold: int = 256,
+                 rows: int = 64, interpret: Optional[bool] = None,
+                 direct_coarse: bool = True, psweep_vmem_mb: Optional[int] = 24):
+        self.problem = problem
+        self.hier = GridHierarchy.create(problem, num_levels)
+        self.omega = float(omega)
+        self.psweep_vmem_mb = psweep_vmem_mb
+        levels = self.hier.levels
+        L = len(levels)
+        # Pallas levels 0..K-1; level K exists as layout-only (handoff).
+        K = 0
+        while K < L - 1 and levels[K].n >= pallas_threshold:
+            K += 1
+        assert K >= 1, (
+            "finest level is below pallas_threshold - use solvers/multigrid.py "
+            "or solvers/pallas_mg.py for small problems")
+        self.K = K
+        Wp = None
+        self.pl = []
+        for l in range(min(K + 1, L)):
+            lv = levels[l]
+            phase = problem.phase(lv.n) if lv.pid is not None else None
+            p = PallasLevel(lv.n, stride=1 << l, phase=phase,
+                            coefficients=problem.coefficients, omega=omega,
+                            Wp=Wp, rows=rows, rows_next=rows,
+                            interpret=interpret)
+            Wp = p.Wp
+            self.pl.append(p)
+        self.coarse_inv = None
+        if direct_coarse and L > 1:
+            from multigrid_feanet_tpu.solvers import coarse as _coarse
+
+            self.coarse_inv = _coarse.coarse_inverse(levels[-1])
+        self._compiled = {}
+
+    # ---- XLA subtree (compact layout, levels K..L-1) ----
+
+    def _xla_vcycle(self, l: int, u, f, nu1: int, nu2: int):
+        levels = self.hier.levels
+        L = len(levels)
+        lv = levels[l]
+        if l == L - 1 and l > 0 and self.coarse_inv is not None:
+            from multigrid_feanet_tpu.solvers.coarse import coarse_solve
+
+            return coarse_solve(self.coarse_inv, f).astype(f.dtype)
+        for _ in range(nu1):
+            u = jac.jacobi_step(lv, u, f, 0.0, self.omega)
+        if l < L - 1:
+            r = (f - lv.apply(u)) * lv.geo
+            f_c = 4.0 * restrict_full_weighting(r)
+            u_c = self._xla_vcycle(l + 1, jnp.zeros_like(f_c), f_c, nu1, nu2)
+            u = u + prolong_bilinear(u_c, lv.geo)
+        for _ in range(nu2):
+            u = jac.jacobi_step(lv, u, f, 0.0, self.omega)
+        return u
+
+    # ---- fused Pallas V-cycle over buffers ----
+
+    def _coarse_correction(self, l: int, fcb, nu1: int, nu2: int):
+        """Solve the level-(l) error equation from a zero initial guess;
+        ``fcb`` is the level-l RHS buffer.  Returns the level-l solution
+        buffer (for the parent's psweep)."""
+        if l < self.K:
+            p = self.pl[l]
+            u, _ = p.sweep(p.zeros(), fcb, dst=p.zeros())
+            for _ in range(nu1 - 1):
+                u, _ = p.sweep(u, fcb, dst=p.zeros())
+            fcc, _ = p.restrict_residual(u, fcb)
+            uc = self._coarse_correction(l + 1, fcc, nu1, nu2)
+            u, _ = p.psweep(u, fcb, uc, dst=p.zeros(),
+                            vmem_mb=self.psweep_vmem_mb)
+            for _ in range(nu2 - 1):
+                u, _ = p.sweep(u, fcb, dst=p.zeros())
+            return u
+        # handoff: compact, run the XLA subtree, re-pad
+        p = self.pl[l]
+        f_plain = p.unpad(fcb)
+        u_plain = self._xla_vcycle(l, jnp.zeros_like(f_plain), f_plain, nu1, nu2)
+        return p.pad(u_plain)
+
+    def _cycle0(self, u, sp, fb, nu1: int, nu2: int):
+        """One V(nu1, nu2) cycle at level 0 with donation ping-pong.
+        Returns (u_new, spare_new, rsq_pre) where ``rsq_pre`` is the squared
+        interior residual norm of the INCOMING ``u`` (free from the first
+        sweep).  When nu1 + nu2 is even, the returned buffers occupy the
+        same storage slots as the inputs (no while-carry copies)."""
+        p = self.pl[0]
+        u1, rsq = p.sweep(u, fb, dst=sp)
+        free = u  # storage of the consumed input
+        for _ in range(nu1 - 1):
+            u1, free = p.sweep(u1, fb, dst=free)[0], u1
+        fc, _ = p.restrict_residual(u1, fb)
+        uc = self._coarse_correction(1, fc, nu1, nu2)
+        u2, free = p.psweep(u1, fb, uc, dst=free,
+                            vmem_mb=self.psweep_vmem_mb)[0], u1
+        for _ in range(nu2 - 1):
+            u2, free = p.sweep(u2, fb, dst=free)[0], u2
+        return u2, free, rsq
+
+    # ---- solve entry point (one device dispatch, one host sync) ----
+
+    def solve(self, f, u0=None, bc_value=None, nu1: int = 1, nu2: int = 1,
+              eps: float = 1e-6, max_cycles: int = 100):
+        """V-cycle solve to interior residual ``eps``.
+
+        ``f`` is the mass-convolved RHS as a plain (n+1, n+1) field.
+        Returns ``(u, history)`` with ``history[j]`` = interior residual
+        norm after cycle j+1 (reference convention) and ``len(history)`` =
+        cycles to reach ``eps``.  The returned ``u`` includes ONE extra
+        cycle beyond ``history`` (the cycle whose free pre-sweep residual
+        detected convergence), so it is at least as converged as
+        ``history[-1]``.
+        """
+        lv0, p0 = self.hier.finest, self.pl[0]
+        H = lv0.n_nodes
+        if u0 is None:
+            u0 = jnp.zeros((H, H), p0.dtype)
+        u0 = reset_boundary(u0, lv0.geo, 0.0 if bc_value is None else bc_value)
+
+        key = ("solve", nu1, nu2, float(eps), max_cycles)
+        if key not in self._compiled:
+
+            @jax.jit
+            def run(u0_plain, f_plain):
+                u = p0.pad(u0_plain)
+                sp = p0.zeros()
+                fb = p0.pad(f_plain)
+                hist0 = jnp.full((max_cycles + 1,), jnp.inf, dtype=jnp.float32)
+
+                def cond(c):
+                    u, sp, k, res, hist = c
+                    return (res > eps) & (k <= max_cycles)
+
+                def body(c):
+                    u, sp, k, res, hist = c
+                    u, sp, rsq = self._cycle0(u, sp, fb, nu1, nu2)
+                    res = jnp.sqrt(rsq).astype(jnp.float32)
+                    # rsq is the residual of the state ENTERING this body,
+                    # i.e. after k completed cycles.
+                    return (u, sp, k + 1, res, hist.at[k].set(res))
+
+                u, sp, k, res, hist = jax.lax.while_loop(
+                    cond, body, (u, sp, jnp.int32(0), jnp.float32(jnp.inf), hist0)
+                )
+                return p0.unpad(u), k, hist
+
+            self._compiled[key] = run
+        u, k, hist = self._compiled[key](u0, f)
+        k = int(k)
+        # hist[i] = residual after i cycles (hist[0] = initial residual);
+        # drop it for the reference's "after cycle j+1" convention.
+        return u, np.asarray(hist)[1:k]
