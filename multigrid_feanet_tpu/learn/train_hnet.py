@@ -26,6 +26,7 @@ from multigrid_feanet_tpu.core.problem import Level
 from multigrid_feanet_tpu.models import hnet
 from multigrid_feanet_tpu.ops import stencil
 from multigrid_feanet_tpu.data import datasets
+from multigrid_feanet_tpu.utils import checkpoint
 
 
 class TrainState(NamedTuple):
@@ -111,11 +112,16 @@ def train_step_elastic(level, state: TrainState, u_star, f, k_max: int = 20):
 
 def train_elastic(level, dataset, *, num_epochs: int = 100, batch_size: int = 5,
                   seed: int = 0, k_max: int = 20, log_every: int = 50,
-                  verbose: bool = True):
-    """Elastic H-Net training loop.  Returns (params, per-epoch losses)."""
+                  verbose: bool = True, ckpt_dir: str | None = None,
+                  ckpt_every: int = 1):
+    """Elastic H-Net training loop.  Returns (params, per-epoch losses).
+    ``ckpt_dir`` enables per-epoch checkpointing (the reference's every-epoch
+    torch.save) with automatic resume from ``{ckpt_dir}/latest.npz``."""
     state = init_state_elastic(seed)
-    losses = []
-    for epoch in range(num_epochs):
+    start, losses = 0, []
+    if ckpt_dir is not None:
+        state, start, losses = checkpoint.load_training(ckpt_dir, state)
+    for epoch in range(start, num_epochs):
         total, nb = 0.0, 0
         for batch in datasets.batches(dataset, batch_size, shuffle=True, seed=seed + epoch):
             u_star, f = batch
@@ -123,17 +129,25 @@ def train_elastic(level, dataset, *, num_epochs: int = 100, batch_size: int = 5,
             total += float(loss)
             nb += 1
         losses.append(total / max(nb, 1))
+        if ckpt_dir is not None and ((epoch + 1) % ckpt_every == 0
+                                     or epoch == num_epochs - 1):
+            checkpoint.save_training(ckpt_dir, state, epoch + 1, losses)
         if verbose and epoch % log_every == 0:
             print(f"epoch {epoch}: loss {losses[-1]:.6f}")
     return state.params, np.asarray(losses)
 
 
 def train(level: Level, dataset, *, num_epochs: int = 100, batch_size: int = 5,
-          seed: int = 0, k_max: int = 20, log_every: int = 50, verbose: bool = True):
-    """Full training loop.  Returns (params, per-epoch loss history)."""
+          seed: int = 0, k_max: int = 20, log_every: int = 50, verbose: bool = True,
+          ckpt_dir: str | None = None, ckpt_every: int = 1):
+    """Full training loop.  Returns (params, per-epoch loss history).
+    ``ckpt_dir`` enables per-epoch checkpointing (the reference's every-epoch
+    torch.save) with automatic resume from ``{ckpt_dir}/latest.npz``."""
     state = init_state(level, seed)
-    losses = []
-    for epoch in range(num_epochs):
+    start, losses = 0, []
+    if ckpt_dir is not None:
+        state, start, losses = checkpoint.load_training(ckpt_dir, state)
+    for epoch in range(start, num_epochs):
         total, nb = 0.0, 0
         for batch in datasets.batches(dataset, batch_size, shuffle=True, seed=seed + epoch):
             u_star, f, bc_value, bc_index = batch
@@ -141,6 +155,9 @@ def train(level: Level, dataset, *, num_epochs: int = 100, batch_size: int = 5,
             total += float(loss)
             nb += 1
         losses.append(total / max(nb, 1))
+        if ckpt_dir is not None and ((epoch + 1) % ckpt_every == 0
+                                     or epoch == num_epochs - 1):
+            checkpoint.save_training(ckpt_dir, state, epoch + 1, losses)
         if verbose and epoch % log_every == 0:
             print(f"epoch {epoch}: loss {losses[-1]:.6f}")
     return state.params, np.asarray(losses)

@@ -111,13 +111,24 @@ def train_step(hier: GridHierarchy, state: TrainState, F_batch, *, m: int = 6, m
 
 def train(hier: GridHierarchy, rhs_dataset, *, num_epochs: int = 300, batch_size: int = 64,
           seed: int = 0, m: int = 6, m0: int = 2, train_kernel: Optional[int] = None,
-          lr: float = 1e-3, log_every: int = 50, verbose: bool = True):
+          lr: float = 1e-3, log_every: int = 50, verbose: bool = True,
+          ckpt_dir: Optional[str] = None, ckpt_every: int = 1,
+          init_params: Optional[IntergridParams] = None):
     """Train the R/P kernels on an RHS dataset.  ``train_kernel`` selects the
-    reference's one-kernel-at-a-time curriculum (None = all channels).
+    reference's one-kernel-at-a-time curriculum (None = all channels);
+    ``init_params`` warm-starts from a previous curriculum stage.
+    ``ckpt_dir`` enables per-epoch checkpointing (the reference's every-epoch
+    torch.save) with automatic resume from ``{ckpt_dir}/latest.npz``.
     Returns (params, per-epoch q_m loss history)."""
+    from multigrid_feanet_tpu.utils import checkpoint
+
     state = init_state(seed, num_patterns=16 if hier.finest.pid is not None else 1, lr=lr)
-    losses = []
-    for epoch in range(num_epochs):
+    if init_params is not None:
+        state = state._replace(params=init_params)
+    start, losses = 0, []
+    if ckpt_dir is not None:
+        state, start, losses = checkpoint.load_training(ckpt_dir, state)
+    for epoch in range(start, num_epochs):
         total, nb = 0.0, 0
         for F in datasets.batches(rhs_dataset, batch_size, shuffle=True, seed=seed + epoch):
             state, loss = train_step(
@@ -126,6 +137,9 @@ def train(hier: GridHierarchy, rhs_dataset, *, num_epochs: int = 300, batch_size
             total += float(loss)
             nb += 1
         losses.append(total / max(nb, 1))
+        if ckpt_dir is not None and ((epoch + 1) % ckpt_every == 0
+                                     or epoch == num_epochs - 1):
+            checkpoint.save_training(ckpt_dir, state, epoch + 1, losses)
         if verbose and epoch % log_every == 0:
             print(f"epoch {epoch}: q_m {losses[-1]:.5f}")
     return state.params, np.asarray(losses)

@@ -218,6 +218,94 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, u_out, rsq_ref,
 
 
 # ---------------------------------------------------------------------------
+# Kernel 1b: fully-fused V-cycle descent leg — pre-smooth sweep + residual +
+# x4 full-weighting restriction in ONE HBM pass (15 B/node vs 24 for the
+# separate sweep + restrict_residual pair).
+# ---------------------------------------------------------------------------
+
+
+def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, u1_out, fc_out, rsq_ref,
+                 uwin, fwin, phw, u1c, *, R, H, W, Wp, a0, da, omega, s, bim):
+    """Grid step i emits u1 node rows [(i-1)R, iR) AND coarse rows
+    [(i-1)R/2, iR/2) of f_c = 4*FW(f - A u1), where u1 = jacobi_sweep(u0).
+
+    All inputs lag by ONE block (u/f/ph block i+1 -> rows [iR, (i+1)R)).
+    Cache invariants at the start of step i:
+      uwin[0 : R+2]  = u0 node rows [(i-1)R - 2, iR)
+      fwin[0 : R+1]  = f  node rows [(i-1)R - 1, iR)
+      phw[0 : R+2]   = element rows  [(i-1)R - 2, iR)
+      u1c[0]         = u1 node row (i-1)R - 2
+    The step computes u1 on rows [(i-1)R - 1, iR] (two rows of overlap
+    recomputed by the next step), so the residual of u1 is available on
+    rows [(i-1)R - 1, iR - 1] — exactly the FW window of this step's
+    coarse rows.  ``rsq`` accumulates the PRE-sweep residual norm^2 (the
+    free convergence test), disjoint rows [(i-1)R - 1, iR - 1) per step.
+    """
+    i = pl.program_id(0)
+    row0 = (i - 1) * R - 2  # global node row of uwin row 0
+
+    uwin[R + 2 : R + 4, :] = u_ref[0:2, :]
+    fwin[R + 1 : R + 2, :] = f_ref[0:1, :]
+    if bim:
+        phw[R + 2 : R + 3, :] = ph_ref[0:1, :]
+
+    uw = uwin[...]  # (R+4, Wp): u0 rows [row0, row0 + R + 4)
+    if bim:
+        phin = phw[...]  # (R+3, Wp): element rows [row0, row0 + R + 3)
+        au0, C4 = _apply_bim(uw, phin, R + 4, a0, da, s)
+        d = (2.0 / 3.0) * C4
+    else:
+        au0, _ = _apply_hom(uw, R + 4, a0, s)
+        d = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+    # au0 rows [(i-1)R - 1, iR + 1] -> R+2 rows, aligned with fwin
+    f0 = fwin[...]
+    r0 = f0 - au0
+    r0 = jnp.where(_interior_mask(row0 + 1, R + 2, Wp, H, W, s), r0, 0.0)
+    u1full = uw[1 : R + 3, :] + (omega / d) * r0  # u1 rows [(i-1)R-1, iR]
+    u1_out[...] = u1full[1 : R + 1, :]
+
+    @pl.when(i > 0)
+    def _():
+        rsq_ref[i - 1, 0] = jnp.sum(r0[0:R, :] * r0[0:R, :])
+
+    # residual of u1 on rows [(i-1)R - 1, iR - 1]
+    u1buf = jnp.concatenate([u1c[...], u1full], axis=0)  # rows [(i-1)R-2, iR]
+    if bim:
+        au1, _ = _apply_bim(u1buf, phin[0 : R + 2, :], R + 3, a0, da, s)
+    else:
+        au1, _ = _apply_hom(u1buf, R + 3, a0, s)
+    r1 = f0[0 : R + 1, :] - au1
+    r1 = jnp.where(_interior_mask(row0 + 1, R + 1, Wp, H, W, s), r1, 0.0)
+    # full weighting + x4 scaling (identical to _rr_kernel)
+    A = r1[0:R, :].reshape(R // 2, 2, Wp)
+    B = jnp.concatenate([A[1:, 0, :], r1[R : R + 1, :]], axis=0)
+    rows_fw = A[:, 0, :] + 2.0 * A[:, 1, :] + B
+    lanes_fw = 2.0 * rows_fw + _roll_m(rows_fw, s) + _roll_p(rows_fw, s)
+    fc = lanes_fw * (4.0 / 16.0)
+    Hc = (H - 1) // 2 + 1
+    Wc = (W - 1) // 2 + 1
+    crow0 = (i - 1) * (R // 2)
+    fc_out[...] = jnp.where(
+        _interior_mask(crow0, R // 2, Wp, Hc, Wc, 2 * s), fc, 0.0)
+
+    # roll caches forward
+    u1c[0:1, :] = u1full[R - 1 : R, :]
+    uwin[0:2, :] = jnp.where(i == 0, jnp.zeros((2, Wp), jnp.float32),
+                             uwin[R : R + 2, :])
+    uwin[2:4, :] = uwin[R + 2 : R + 4, :]
+    uwin[4 : R + 2, :] = u_ref[2:R, :]
+    fwin[0:1, :] = jnp.where(i == 0, jnp.zeros((1, Wp), jnp.float32),
+                             fwin[R : R + 1, :])
+    fwin[1:2, :] = fwin[R + 1 : R + 2, :]
+    fwin[2 : R + 1, :] = f_ref[1:R, :]
+    if bim:
+        phw[0:2, :] = jnp.where(i == 0, jnp.zeros((2, Wp), jnp.int8),
+                                phw[R : R + 2, :])
+        phw[2:3, :] = phw[R + 2 : R + 3, :]
+        phw[3 : R + 2, :] = ph_ref[1:R, :]
+
+
+# ---------------------------------------------------------------------------
 # Kernel 2: fused residual + x4-scaled full-weighting restriction.
 # ---------------------------------------------------------------------------
 
@@ -345,6 +433,8 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, *, R, H, W, Wp, a0, da,
         interpret=interpret,
         compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_mb) << 20)),
+        # bytes_accessed is BYTES per node: u in + f in + u out (3 x f32 =
+        # 12 B) plus the int8 element-phase stream (+1 B) when bi-material.
         cost_estimate=pl.CostEstimate(
             flops=(35 if bim else 12) * (u_pad.shape[0] - 2 * R) * Wp,
             bytes_accessed=(13 if bim else 12) * (u_pad.shape[0] - 2 * R) * Wp,
@@ -355,8 +445,72 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, *, R, H, W, Wp, a0, da,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "H", "W", "Wp", "a0", "da", "s", "Rc", "interpret"))
-def _run_rr(u_pad, f_pad, ph_pad, *, R, H, W, Wp, a0, da, s, Rc, interpret):
+    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "Rc", "interpret",
+    "vmem_mb"))
+def _run_swrr(u_pad, f_pad, ph_pad, dst, *, R, H, W, Wp, a0, da, omega, s,
+              Rc, interpret, vmem_mb=None):
+    nb = (u_pad.shape[0] - 2 * R) // R
+    bim = ph_pad is not None
+    Hc = (H - 1) // 2 + 1
+    Hpc = _round_up(Hc, Rc)
+    out_rows = Hpc + 2 * Rc
+    assert (2 * Rc) % R == 0
+    idx_off = 2 * Rc // R - 1
+    assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
+    kern = functools.partial(_swrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0,
+                             da=da, omega=omega, s=s, bim=bim)
+    in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 1)]
+    args = [u_pad, f_pad]
+    if bim:
+        in_specs.append(_lagged_spec(R, Wp, 1))
+        args.append(ph_pad)
+    else:
+        in_specs.append(_DUMMY_SPEC)
+        args.append(jnp.zeros((32, 128), jnp.int8))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    args.append(dst)
+    u1, fc, rsq = pl.pallas_call(
+        kern,
+        grid=(nb + 1,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((R, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _lagged_spec(R // 2, Wp, idx_off),
+            pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(u_pad.shape, u_pad.dtype),
+            jax.ShapeDtypeStruct((out_rows, Wp), u_pad.dtype),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R + 4, Wp), jnp.float32),
+            pltpu.VMEM((R + 2, Wp), jnp.float32),
+            pltpu.VMEM((R + 3, Wp), jnp.int8),
+            pltpu.VMEM((1, Wp), jnp.float32),
+        ],
+        input_output_aliases={3: 0},
+        interpret=interpret,
+        compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb) << 20)),
+        # bytes_accessed is BYTES per fine node: u + f + u1 out (12 B) +
+        # int8 phase (1 B) + coarse output at 1/2 row count (2 B).
+        cost_estimate=pl.CostEstimate(
+            flops=(76 if bim else 30) * (u_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=(15 if bim else 14) * (u_pad.shape[0] - 2 * R) * Wp,
+            transcendentals=0,
+        ),
+    )(*args)
+    # Same ghost-block invariant as _run_rr: fc blocks outside
+    # [idx_off, nb + idx_off] are never written (block idx_off IS written —
+    # with zeros, at i=0).  Consumers must jnp.where-mask.
+    return u1, fc, jnp.sum(rsq)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "H", "W", "Wp", "a0", "da", "s", "Rc", "interpret", "vmem_mb"))
+def _run_rr(u_pad, f_pad, ph_pad, *, R, H, W, Wp, a0, da, s, Rc, interpret,
+            vmem_mb=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     Hc = (H - 1) // 2 + 1
@@ -393,12 +547,22 @@ def _run_rr(u_pad, f_pad, ph_pad, *, R, H, W, Wp, a0, da, s, Rc, interpret):
             pltpu.VMEM((2, Wp), jnp.int8),
         ],
         interpret=interpret,
+        compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb) << 20)),
+        # bytes_accessed is BYTES per fine node: u in + f in (8 B) + int8
+        # phase (1 B) + coarse f32 output at 1/2 the row count (2 B).
         cost_estimate=pl.CostEstimate(
             flops=(40 if bim else 16) * (u_pad.shape[0] - 2 * R) * Wp,
-            bytes_accessed=10 * (u_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=(11 if bim else 10) * (u_pad.shape[0] - 2 * R) * Wp,
             transcendentals=0,
         ),
     )(*args)
+    # INVARIANT: output blocks outside [idx_off, nb + idx_off] (the top
+    # ghost half-block and any trailing slack) are never written and hold
+    # uninitialized memory.  Every in-tree consumer (the coarse level's
+    # sweep/restrict kernels and unpad) selects away from those rows with
+    # jnp.where interior masks before use — never reduce over or
+    # multiplicatively mask the raw buffer.
     return fc, jnp.sum(rsq)
 
 
@@ -420,7 +584,8 @@ class PallasLevel:
                  coefficients=(1.0, 20.0), omega: float = 2.0 / 3.0,
                  Wp: Optional[int] = None, rows: int = 64,
                  rows_next: Optional[int] = None,
-                 interpret: Optional[bool] = None, dtype=jnp.float32):
+                 interpret: Optional[bool] = None, dtype=jnp.float32,
+                 vmem_mb: Optional[int] = 64):
         self.n = n
         self.H = self.W = n + 1
         self.s = int(stride)
@@ -440,6 +605,11 @@ class PallasLevel:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = bool(interpret)
+        # Mosaic scoped-VMEM limit for every kernel at this level.  The
+        # 16 MB default is marginal at rows=64 (the bim sweep sits at
+        # ~16.5 MB depending on surrounding-code scheduling); v5e has
+        # 128 MB of VMEM, so 64 MB is safely clear of both.
+        self.vmem_mb = vmem_mb
         self.bim = phase is not None
         self.ph_pad = self.pad(jnp.asarray(phase), jnp.int8) if self.bim else None
 
@@ -477,14 +647,16 @@ class PallasLevel:
         if dst is None:
             dst = self.zeros()
         return _run_sweep(u_pad, f_pad, self.ph_pad, None, dst,
-                          mode="sweep", R_up=0, **self._cfg())
+                          mode="sweep", R_up=0, vmem_mb=self.vmem_mb,
+                          **self._cfg())
 
     def residual(self, u_pad, f_pad, dst=None):
         """Interior-masked residual f - A u (+ its norm^2)."""
         if dst is None:
             dst = self.zeros()
         return _run_sweep(u_pad, f_pad, self.ph_pad, None, dst,
-                          mode="residual", R_up=0, **self._cfg())
+                          mode="residual", R_up=0, vmem_mb=self.vmem_mb,
+                          **self._cfg())
 
     def psweep(self, u_pad, f_pad, uc_pad, R_up: Optional[int] = None, dst=None,
                vmem_mb: Optional[int] = None):
@@ -494,12 +666,31 @@ class PallasLevel:
             dst = self.zeros()
         return _run_sweep(u_pad, f_pad, self.ph_pad, uc_pad, dst,
                           mode="sweep", R_up=int(R_up if R_up is not None else self.Rc),
-                          vmem_mb=vmem_mb, **self._cfg())
+                          vmem_mb=(vmem_mb if vmem_mb is not None else self.vmem_mb),
+                          **self._cfg())
+
+    def sweep_restrict(self, u_pad, f_pad, dst=None):
+        """Fully-fused V-cycle descent leg: one pre-smoothing Jacobi sweep +
+        residual of the swept iterate + x4 full-weighting restriction, in a
+        single HBM pass -> (u1, f_c, rsq).  ``rsq`` is the PRE-sweep interior
+        residual norm^2 (identical to ``sweep``'s); ``f_c`` is the coarse RHS
+        in the coarse level's layout.  Equivalent to
+        ``u1, rsq = sweep(u, f); f_c, _ = restrict_residual(u1, f)``.
+        Same ghost-block caveat on ``f_c`` as ``restrict_residual``."""
+        if dst is None:
+            dst = self.zeros()
+        return _run_swrr(u_pad, f_pad, self.ph_pad, dst, Rc=self.Rc,
+                         vmem_mb=self.vmem_mb, **self._cfg())
 
     def restrict_residual(self, u_pad, f_pad):
         """Fused residual + x4 full-weighting restriction -> (f_c, rsq).
         ``f_c`` is a fresh buffer in the coarse level's layout (stride 2s,
-        ghost Rc rows); ``rsq`` is this level's squared residual norm."""
+        ghost Rc rows); ``rsq`` is this level's squared residual norm.
+
+        WARNING: ``f_c``'s top ghost half-block and trailing slack rows are
+        uninitialized (see the invariant note in ``_run_rr``); mask with
+        ``jnp.where`` before any whole-buffer reduction or copy."""
         cfg = self._cfg()
         cfg.pop("omega")
-        return _run_rr(u_pad, f_pad, self.ph_pad, Rc=self.Rc, **cfg)
+        return _run_rr(u_pad, f_pad, self.ph_pad, Rc=self.Rc,
+                       vmem_mb=self.vmem_mb, **cfg)

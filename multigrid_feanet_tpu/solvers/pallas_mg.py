@@ -316,12 +316,12 @@ def solve_ir(ph: PallasHierarchy, f, u0=None, bc_value=None, nu1: int = 1, nu2: 
         # x64 disabled: Mosaic's convert-element-type lowering recurses
         # infinitely when a Pallas kernel is traced in x64 mode.  The cast
         # stays on device — no host round-trips per outer iteration.
+        # jax.enable_x64(False) is a thread-local SCOPED override (part of
+        # the jit trace-cache key), not a global flag flip, so concurrent
+        # tracing in other threads is unaffected.
         r32 = r.astype(jnp.float32)
-        jax.config.update("jax_enable_x64", False)
-        try:
+        with jax.enable_x64(False):
             e32, _ = ph.solve(r32, nu1=nu1, nu2=nu2,
                               eps=0.0, max_cycles=cycles_per_correction)
-        finally:
-            jax.config.update("jax_enable_x64", True)
         u = u + jnp.asarray(e32, jnp.float64) * jnp.asarray(lv64.geo)
     return u, np.asarray(history)

@@ -56,15 +56,16 @@ class PallasHierarchyV2:
     levels run the XLA bitplane ops in compact layout.
 
     ``rows`` is the kernel row-block size (ghost-block layout unit) shared
-    by all Pallas levels.  ``psweep_vmem_mb`` raises the Mosaic scoped-VMEM
-    limit for the prolongation-fused sweep only (its coarse-input stream
-    overflows the default 16 MB at rows=64; measured same-speed at 24 MB).
+    by all Pallas levels.  Every kernel runs with the PallasLevel-wide
+    64 MB scoped-VMEM limit (the Mosaic 16 MB default is marginal at
+    rows=64); ``psweep_vmem_mb`` optionally overrides it for the
+    prolongation-fused sweep only.
     """
 
     def __init__(self, problem: Problem, num_levels: Optional[int] = None,
                  omega: float = DEFAULT_OMEGA, pallas_threshold: int = 256,
                  rows: int = 64, interpret: Optional[bool] = None,
-                 direct_coarse: bool = True, psweep_vmem_mb: Optional[int] = 24):
+                 direct_coarse: bool = True, psweep_vmem_mb: Optional[int] = None):
         self.problem = problem
         self.hier = GridHierarchy.create(problem, num_levels)
         self.omega = float(omega)
@@ -126,16 +127,19 @@ class PallasHierarchyV2:
         buffer (for the parent's psweep)."""
         if l < self.K:
             p = self.pl[l]
-            u, _ = p.sweep(p.zeros(), fcb, dst=p.zeros())
+            cur, spare = p.zeros(), p.zeros()
             for _ in range(nu1 - 1):
-                u, _ = p.sweep(u, fcb, dst=p.zeros())
-            fcc, _ = p.restrict_residual(u, fcb)
+                cur, spare = p.sweep(cur, fcb, dst=spare)[0], cur
+            # last pre-smooth fused with residual + restriction
+            out, fcc, _ = p.sweep_restrict(cur, fcb, dst=spare)
+            cur, spare = out, cur
             uc = self._coarse_correction(l + 1, fcc, nu1, nu2)
-            u, _ = p.psweep(u, fcb, uc, dst=p.zeros(),
-                            vmem_mb=self.psweep_vmem_mb)
+            out, _ = p.psweep(cur, fcb, uc, dst=spare,
+                              vmem_mb=self.psweep_vmem_mb)
+            cur, spare = out, cur
             for _ in range(nu2 - 1):
-                u, _ = p.sweep(u, fcb, dst=p.zeros())
-            return u
+                cur, spare = p.sweep(cur, fcb, dst=spare)[0], cur
+            return cur
         # handoff: compact, run the XLA subtree, re-pad
         p = self.pl[l]
         f_plain = p.unpad(fcb)
@@ -149,17 +153,21 @@ class PallasHierarchyV2:
         sweep).  When nu1 + nu2 is even, the returned buffers occupy the
         same storage slots as the inputs (no while-carry copies)."""
         p = self.pl[0]
-        u1, rsq = p.sweep(u, fb, dst=sp)
-        free = u  # storage of the consumed input
+        cur, spare, rsq = u, sp, None
         for _ in range(nu1 - 1):
-            u1, free = p.sweep(u1, fb, dst=free)[0], u1
-        fc, _ = p.restrict_residual(u1, fb)
+            out, r = p.sweep(cur, fb, dst=spare)
+            rsq = r if rsq is None else rsq
+            cur, spare = out, cur
+        # last pre-smooth fused with residual + restriction (one HBM pass)
+        out, fc, r = p.sweep_restrict(cur, fb, dst=spare)
+        rsq = r if rsq is None else rsq
+        cur, spare = out, cur
         uc = self._coarse_correction(1, fc, nu1, nu2)
-        u2, free = p.psweep(u1, fb, uc, dst=free,
-                            vmem_mb=self.psweep_vmem_mb)[0], u1
+        out, _ = p.psweep(cur, fb, uc, dst=spare, vmem_mb=self.psweep_vmem_mb)
+        cur, spare = out, cur
         for _ in range(nu2 - 1):
-            u2, free = p.sweep(u2, fb, dst=free)[0], u2
-        return u2, free, rsq
+            cur, spare = p.sweep(cur, fb, dst=spare)[0], cur
+        return cur, spare, rsq
 
     # ---- solve entry point (one device dispatch, one host sync) ----
 
@@ -173,7 +181,18 @@ class PallasHierarchyV2:
         cycles to reach ``eps``.  The returned ``u`` includes ONE extra
         cycle beyond ``history`` (the cycle whose free pre-sweep residual
         detected convergence), so it is at least as converged as
-        ``history[-1]``.
+        ``history[-1]``.  This lag is inherent to the free residual: the
+        norm of cycle k's output is only known once cycle k+1's first sweep
+        has run.  Consequently at least one cycle is always applied (even
+        when ``u0`` already satisfies ``eps``), and at the ``max_cycles``
+        cap the returned ``u`` has ``max_cycles`` cycles while ``history``
+        covers the first ``max_cycles - 1``.
+
+        NOTE (donation ping-pong): when ``nu1 + nu2`` is odd, the cycle's
+        buffers land in swapped carry slots and XLA reinstates one
+        full-buffer copy per level per cycle (~2x fine-sweep cost).  Even
+        schedules — V(1,1), V(2,2) — run copy-free; V(2,1)/V(1,2) are
+        correct but pay the copy.
         """
         lv0, p0 = self.hier.finest, self.pl[0]
         H = lv0.n_nodes
@@ -193,7 +212,7 @@ class PallasHierarchyV2:
 
                 def cond(c):
                     u, sp, k, res, hist = c
-                    return (res > eps) & (k <= max_cycles)
+                    return (res > eps) & (k < max_cycles)
 
                 def body(c):
                     u, sp, k, res, hist = c

@@ -32,6 +32,30 @@ def save(path: str, tree: Any) -> None:
     ckptr.wait_until_finished()
 
 
+def save_training(ckpt_dir: str, state: Any, epoch: int, losses) -> None:
+    """Per-epoch training checkpoint (the reference torch.saves a state_dict
+    every epoch — M-FEANet-learn_iterator.ipynb cell 8).  Writes
+    ``{ckpt_dir}/latest.npz`` atomically with (train state, epochs completed,
+    loss history)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tmp = os.path.join(ckpt_dir, ".latest.tmp.npz")
+    save(tmp, {"state": state, "epoch": np.asarray(epoch),
+               "losses": np.asarray(losses, np.float64)})
+    os.replace(tmp, os.path.join(ckpt_dir, "latest.npz"))
+
+
+def load_training(ckpt_dir: str, state_like: Any):
+    """Resume from :func:`save_training`.  Returns ``(state, start_epoch,
+    losses)`` — the initial ``(state_like, 0, [])`` when no checkpoint
+    exists."""
+    path = os.path.join(ckpt_dir, "latest.npz")
+    if not os.path.exists(path):
+        return state_like, 0, []
+    like = {"state": state_like, "epoch": np.asarray(0), "losses": np.zeros(0)}
+    tree = load(path, like=like)
+    return tree["state"], int(tree["epoch"]), list(tree["losses"])
+
+
 def load(path: str, like: Any = None) -> Any:
     """Load a pytree saved by :func:`save`.  For ``.npz``, ``like`` supplies
     the tree structure (leaf order is flatten order)."""

@@ -71,3 +71,12 @@ def test_v2_kernels_parity(bim, s, R):
     u_corr = u + prolong_bilinear(uc, lv.geo)
     want_p = jac.jacobi_step(lv, u_corr, f, 0.0, 2.0 / 3.0)
     assert _rel_err(pl_lv.unpad(got_p), want_p) < TOL
+
+    # fully-fused descent leg == sweep then restrict_residual, element-wise
+    u1_sep, rsq_sep = pl_lv.sweep(u_pad, f_pad)
+    fc_sep, _ = pl_lv.restrict_residual(u1_sep, f_pad)
+    u1_fus, fc_fus, rsq_fus = pl_lv.sweep_restrict(u_pad, f_pad)
+    np.testing.assert_array_equal(np.asarray(pl_lv.unpad(u1_fus)),
+                                  np.asarray(pl_lv.unpad(u1_sep)))
+    assert _rel_err(pl_c.unpad(fc_fus), pl_c.unpad(fc_sep)) < 1e-6
+    assert float(rsq_fus) == pytest.approx(float(rsq_sep), rel=1e-6)
