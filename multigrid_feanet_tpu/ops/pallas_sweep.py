@@ -128,15 +128,17 @@ def _apply_bim(u_win, ph_win, L, a0, da, s):
     return au, C4
 
 
-def _interior_mask(row0, L, Wp, H, W, s):
-    """Mask of globally-interior nodes over L rows starting at global node
-    row ``row0``: node (i, j), 1 <= i <= H-2, 1 <= j <= W-2, lives at lane
-    j*s; off-grid lanes are masked out.
+def _interior_mask(row0, L, Wp, lo, hi, W, s):
+    """Mask of updatable nodes over L rows starting at LOCAL node row
+    ``row0``: rows lo <= r <= hi (the intersection of the global interior
+    with this shard, in local coordinates — single-device: lo=1, hi=H-2),
+    lanes 1 <= j <= W-2 at lane j*s; off-grid lanes are masked out.
 
+    ``lo``/``hi`` may be traced scalars (SMEM-passed shard bounds).
     Decomposed into a (L, 1) row mask x (1, Wp) lane mask so Mosaic never
     materializes (L, Wp) int32 iotas (VMEM stack pressure at large blocks)."""
     gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-    rm = (gr >= 1) & (gr <= H - 2)
+    rm = (gr >= lo) & (gr <= hi)
     gc = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
     lm = (gc >= s) & (gc <= (W - 2) * s)
     if s > 1:
@@ -144,14 +146,23 @@ def _interior_mask(row0, L, Wp, H, W, s):
     return rm & lm
 
 
+def _owned_rows_mask(row0, L, Hp):
+    """Static mask of the rows whose residual THIS shard's rsq owns:
+    local rows [-1, Hp - 2] for the restriction kernels (each shard's step
+    coverage [(i-1)R - 1, iR - 1) then tiles the global grid exactly once
+    when shards abut — shard i's row -1 is shard i-1's row Hloc - 1)."""
+    gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    return (gr >= -1) & (gr <= Hp - 2)
+
+
 # ---------------------------------------------------------------------------
 # Kernel 1: fused Jacobi sweep / residual, optional fused prolongation-add.
 # ---------------------------------------------------------------------------
 
 
-def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, u_out, rsq_ref,
-                  cache, phc, ucc, *, R, H, W, Wp, a0, da, omega, s,
-                  bim, mode, with_corr):
+def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
+                  bnd_ref, u_out, rsq_ref, cache, phc, ucc, *, R, H, W, Wp,
+                  a0, da, omega, s, nb, bim, mode, with_corr):
     """Grid step i emits node rows [(i-1)R, iR).
 
     Pipeline blocks (ghost-block layouts, data row g at buffer row g + R_lv):
@@ -163,15 +174,24 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, u_out, rsq_ref,
       cache[0 : R+1]  = u node rows [(i-1)R - 1, iR)
       phc[0]          = element row (i-1)R - 1
       ucc[0 : R/2+1]  = coarse rows [(i-1)R/2 - 1, iR/2)
+
+    Shard support: ``uh_ref``/``uch_ref`` are (8, Wp) halo strips — row 7
+    holds node (coarse) row -1 and row 0 holds node row nb*R (coarse row
+    nb*R/2) of a neighbouring shard; all-zero for a single device (then the
+    kernel behaves exactly as before).  ``bnd_ref`` (SMEM int32[4]) carries
+    the updatable row range [lo, hi] in local coordinates (single device:
+    [1, H-2, ...]).
     """
     i = pl.program_id(0)
-    row0 = (i - 1) * R - 1  # global node row of window row 0
+    row0 = (i - 1) * R - 1  # local node row of window row 0
+    lo, hi = bnd_ref[0], bnd_ref[1]
 
-    cache[R + 1 : R + 2, :] = u_ref[0:1, :]
+    cache[R + 1 : R + 2, :] = jnp.where(i == nb, uh_ref[0:1, :], u_ref[0:1, :])
     u_win = cache[...]  # (R+2, Wp) = node rows [row0, row0 + R + 2)
 
     if with_corr:
-        ucc[R // 2 + 1 : R // 2 + 2, :] = uc_ref[0:1, :]
+        ucc[R // 2 + 1 : R // 2 + 2, :] = jnp.where(
+            i == nb, uch_ref[0:1, :], uc_ref[0:1, :])
         cw = ucc[...]  # (R/2+2, Wp) = coarse rows [(i-1)R/2 - 1, iR/2]
         # rows: window row m = fine row row0 + m; row0 is odd, so even m are
         # fine-odd rows (midpoints) and odd m are injections.
@@ -183,7 +203,7 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, u_out, rsq_ref,
         lane_mid = 0.5 * (_roll_m(corr_r, s) + _roll_p(corr_r, s))
         gc = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
         corr = jnp.where((gc & (2 * s - 1)) == 0, corr_r, lane_mid)
-        corr = jnp.where(_interior_mask(row0, R + 2, Wp, H, W, s), corr, 0.0)
+        corr = jnp.where(_interior_mask(row0, R + 2, Wp, lo, hi, W, s), corr, 0.0)
         u_win = u_win + corr
 
     if bim:
@@ -195,7 +215,7 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, u_out, rsq_ref,
         d = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
 
     r = f_ref[...] - au
-    r = jnp.where(_interior_mask(row0 + 1, R, Wp, H, W, s), r, 0.0)
+    r = jnp.where(_interior_mask(row0 + 1, R, Wp, lo, hi, W, s), r, 0.0)
     if mode == "sweep":
         u_out[...] = u_win[1 : R + 1, :] + (omega / d) * r
     else:  # residual
@@ -206,13 +226,12 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, u_out, rsq_ref,
         rsq_ref[i - 1, 0] = jnp.sum(r * r)
 
     # roll caches forward
-    cache[0:1, :] = jnp.where(i == 0, jnp.zeros((1, Wp), jnp.float32),
-                              cache[R : R + 1, :])
+    cache[0:1, :] = jnp.where(i == 0, uh_ref[7:8, :], cache[R : R + 1, :])
     cache[1 : R + 1, :] = u_ref[...]
     if bim:
         phc[0:1, :] = ph_ref[R - 1 : R, :]
     if with_corr:
-        ucc[0:1, :] = jnp.where(i == 0, jnp.zeros((1, Wp), jnp.float32),
+        ucc[0:1, :] = jnp.where(i == 0, uch_ref[7:8, :],
                                 ucc[R // 2 : R // 2 + 1, :])
         ucc[1 : R // 2 + 1, :] = uc_ref[...]
 
@@ -224,8 +243,9 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, u_out, rsq_ref,
 # ---------------------------------------------------------------------------
 
 
-def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, u1_out, fc_out, rsq_ref,
-                 uwin, fwin, phw, u1c, *, R, H, W, Wp, a0, da, omega, s, bim):
+def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
+                 bnd_ref, u1_out, fc_out, rsq_ref, uwin, fwin, phw, u1c, *,
+                 R, H, W, Wp, a0, da, omega, s, nb, bim):
     """Grid step i emits u1 node rows [(i-1)R, iR) AND coarse rows
     [(i-1)R/2, iR/2) of f_c = 4*FW(f - A u1), where u1 = jacobi_sweep(u0).
 
@@ -239,15 +259,25 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, u1_out, fc_out, rsq_ref,
     recomputed by the next step), so the residual of u1 is available on
     rows [(i-1)R - 1, iR - 1] — exactly the FW window of this step's
     coarse rows.  ``rsq`` accumulates the PRE-sweep residual norm^2 (the
-    free convergence test), disjoint rows [(i-1)R - 1, iR - 1) per step.
+    free convergence test), disjoint rows [(i-1)R - 1, iR - 1) per step,
+    clamped to this shard's owned range [-1, nb R - 2].
+
+    Shard halos (all-zero on a single device): ``uh_ref`` rows 5..7 = u
+    node rows -3..-1, rows 0..1 = u rows nbR, nbR+1; ``fh_ref`` rows 6..7 =
+    f rows -2..-1, row 0 = f row nbR; ``phh_ref`` rows 5..7 = element rows
+    -3..-1, row 0 = element row nbR.  ``bnd_ref`` (SMEM int32[4]):
+    [row_lo, row_hi, crow_lo, crow_hi] in local coordinates.
     """
     i = pl.program_id(0)
-    row0 = (i - 1) * R - 2  # global node row of uwin row 0
+    row0 = (i - 1) * R - 2  # local node row of uwin row 0
+    lo, hi = bnd_ref[0], bnd_ref[1]
+    clo, chi = bnd_ref[2], bnd_ref[3]
 
-    uwin[R + 2 : R + 4, :] = u_ref[0:2, :]
-    fwin[R + 1 : R + 2, :] = f_ref[0:1, :]
+    uwin[R + 2 : R + 4, :] = jnp.where(i == nb, uh_ref[0:2, :], u_ref[0:2, :])
+    fwin[R + 1 : R + 2, :] = jnp.where(i == nb, fh_ref[0:1, :], f_ref[0:1, :])
     if bim:
-        phw[R + 2 : R + 3, :] = ph_ref[0:1, :]
+        phw[R + 2 : R + 3, :] = jnp.where(i == nb, phh_ref[0:1, :],
+                                          ph_ref[0:1, :])
 
     uw = uwin[...]  # (R+4, Wp): u0 rows [row0, row0 + R + 4)
     if bim:
@@ -260,13 +290,14 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, u1_out, fc_out, rsq_ref,
     # au0 rows [(i-1)R - 1, iR + 1] -> R+2 rows, aligned with fwin
     f0 = fwin[...]
     r0 = f0 - au0
-    r0 = jnp.where(_interior_mask(row0 + 1, R + 2, Wp, H, W, s), r0, 0.0)
+    r0 = jnp.where(_interior_mask(row0 + 1, R + 2, Wp, lo, hi, W, s), r0, 0.0)
     u1full = uw[1 : R + 3, :] + (omega / d) * r0  # u1 rows [(i-1)R-1, iR]
     u1_out[...] = u1full[1 : R + 1, :]
 
     @pl.when(i > 0)
     def _():
-        rsq_ref[i - 1, 0] = jnp.sum(r0[0:R, :] * r0[0:R, :])
+        rq = jnp.where(_owned_rows_mask(row0 + 1, R, nb * R), r0[0:R, :], 0.0)
+        rsq_ref[i - 1, 0] = jnp.sum(rq * rq)
 
     # residual of u1 on rows [(i-1)R - 1, iR - 1]
     u1buf = jnp.concatenate([u1c[...], u1full], axis=0)  # rows [(i-1)R-2, iR]
@@ -275,32 +306,42 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, u1_out, fc_out, rsq_ref,
     else:
         au1, _ = _apply_hom(u1buf, R + 3, a0, s)
     r1 = f0[0 : R + 1, :] - au1
-    r1 = jnp.where(_interior_mask(row0 + 1, R + 1, Wp, H, W, s), r1, 0.0)
+    r1 = jnp.where(_interior_mask(row0 + 1, R + 1, Wp, lo, hi, W, s), r1, 0.0)
     # full weighting + x4 scaling (identical to _rr_kernel)
     A = r1[0:R, :].reshape(R // 2, 2, Wp)
     B = jnp.concatenate([A[1:, 0, :], r1[R : R + 1, :]], axis=0)
     rows_fw = A[:, 0, :] + 2.0 * A[:, 1, :] + B
     lanes_fw = 2.0 * rows_fw + _roll_m(rows_fw, s) + _roll_p(rows_fw, s)
     fc = lanes_fw * (4.0 / 16.0)
-    Hc = (H - 1) // 2 + 1
     Wc = (W - 1) // 2 + 1
     crow0 = (i - 1) * (R // 2)
     fc_out[...] = jnp.where(
-        _interior_mask(crow0, R // 2, Wp, Hc, Wc, 2 * s), fc, 0.0)
+        _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc, 0.0)
+
+    # seed for the NEXT shard-local step 1: u1 at node row -2, swept from
+    # the halo rows (single device: halos are zero and the row is masked,
+    # reproducing the old garbage-but-masked behaviour exactly because the
+    # row itself is then u0(-2) = 0).
+    if bim:
+        auh, C4h = _apply_bim(uh_ref[5:8, :], phh_ref[5:7, :], 3, a0, da, s)
+        dh = (2.0 / 3.0) * C4h
+    else:
+        auh, _ = _apply_hom(uh_ref[5:8, :], 3, a0, s)
+        dh = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+    rh = fh_ref[6:7, :] - auh
+    rh = jnp.where(_interior_mask(-2, 1, Wp, lo, hi, W, s), rh, 0.0)
+    u1m2 = uh_ref[6:7, :] + (omega / dh) * rh
 
     # roll caches forward
-    u1c[0:1, :] = u1full[R - 1 : R, :]
-    uwin[0:2, :] = jnp.where(i == 0, jnp.zeros((2, Wp), jnp.float32),
-                             uwin[R : R + 2, :])
+    u1c[0:1, :] = jnp.where(i == 0, u1m2, u1full[R - 1 : R, :])
+    uwin[0:2, :] = jnp.where(i == 0, uh_ref[6:8, :], uwin[R : R + 2, :])
     uwin[2:4, :] = uwin[R + 2 : R + 4, :]
     uwin[4 : R + 2, :] = u_ref[2:R, :]
-    fwin[0:1, :] = jnp.where(i == 0, jnp.zeros((1, Wp), jnp.float32),
-                             fwin[R : R + 1, :])
+    fwin[0:1, :] = jnp.where(i == 0, fh_ref[7:8, :], fwin[R : R + 1, :])
     fwin[1:2, :] = fwin[R + 1 : R + 2, :]
     fwin[2 : R + 1, :] = f_ref[1:R, :]
     if bim:
-        phw[0:2, :] = jnp.where(i == 0, jnp.zeros((2, Wp), jnp.int8),
-                                phw[R : R + 2, :])
+        phw[0:2, :] = jnp.where(i == 0, phh_ref[6:8, :], phw[R : R + 2, :])
         phw[2:3, :] = phw[R + 2 : R + 3, :]
         phw[3 : R + 2, :] = ph_ref[1:R, :]
 
@@ -310,8 +351,8 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, u1_out, fc_out, rsq_ref,
 # ---------------------------------------------------------------------------
 
 
-def _rr_kernel(u_ref, f_ref, ph_ref, fc_out, rsq_ref, cache, fch, phc, *,
-               R, H, W, Wp, a0, da, s, bim):
+def _rr_kernel(u_ref, f_ref, ph_ref, uh_ref, bnd_ref, fc_out, rsq_ref,
+               cache, fch, phc, *, R, H, W, Wp, a0, da, s, nb, bim):
     """Grid step i emits coarse node rows [(i-1)R/2, iR/2) of f_c = 4*FW(r).
 
     Needs residual rows [(i-1)R - 1, iR - 1] (R+1 rows), hence u rows
@@ -321,11 +362,19 @@ def _rr_kernel(u_ref, f_ref, ph_ref, fc_out, rsq_ref, cache, fch, phc, *,
       cache[0 : R+2] = u node rows [(i-1)R - 2, iR)
       fch[0]         = f node row (i-1)R - 1
       phc[0 : 2]     = element rows [(i-1)R - 2, (i-1)R)
+
+    Shard support: ``uh_ref`` rows 6..7 = u node rows -2..-1, row 0 = u row
+    nbR (all-zero single-device); f/ph halo rows ride their streamed TOP
+    ghost blocks (write f row -1 at buffer row R-1 and element rows -2..-1
+    at buffer rows R-2..R-1).  ``bnd_ref`` (SMEM int32[4]):
+    [row_lo, row_hi, crow_lo, crow_hi] in local coordinates.
     """
     i = pl.program_id(0)
-    row0 = (i - 1) * R - 2  # global node row of u-window row 0
+    row0 = (i - 1) * R - 2  # local node row of u-window row 0
+    lo, hi = bnd_ref[0], bnd_ref[1]
+    clo, chi = bnd_ref[2], bnd_ref[3]
 
-    cache[R + 2 : R + 3, :] = u_ref[0:1, :]
+    cache[R + 2 : R + 3, :] = jnp.where(i == nb, uh_ref[0:1, :], u_ref[0:1, :])
     u_win = cache[...]  # (R+3, Wp)
 
     if bim:
@@ -336,12 +385,14 @@ def _rr_kernel(u_ref, f_ref, ph_ref, fc_out, rsq_ref, cache, fch, phc, *,
     # au covers node rows [(i-1)R - 1, iR]  -> R+1 rows
     f_win = jnp.concatenate([fch[...], f_ref[...]], axis=0)  # same rows
     r = f_win - au
-    r = jnp.where(_interior_mask(row0 + 1, R + 1, Wp, H, W, s), r, 0.0)
+    r = jnp.where(_interior_mask(row0 + 1, R + 1, Wp, lo, hi, W, s), r, 0.0)
 
     @pl.when(i > 0)
     def _():
-        # rows [(i-1)R - 1, iR - 1): disjoint across steps, full coverage
-        rsq_ref[i - 1, 0] = jnp.sum(r[0:R, :] * r[0:R, :])
+        # rows [(i-1)R - 1, iR - 1): disjoint across steps; the owned-rows
+        # clamp makes shard partial sums tile the global grid exactly once
+        rq = jnp.where(_owned_rows_mask(row0 + 1, R, nb * R), r[0:R, :], 0.0)
+        rsq_ref[i - 1, 0] = jnp.sum(rq * rq)
 
     # row full-weighting: coarse row I <- fine rows 2I-1, 2I, 2I+1 with
     # weights (1, 2, 1).  Window row m = fine row (i-1)R - 1 + m, so local
@@ -352,15 +403,13 @@ def _rr_kernel(u_ref, f_ref, ph_ref, fc_out, rsq_ref, cache, fch, phc, *,
     # lane full-weighting at stride s; output lands on the 2s lane grid
     lanes_fw = 2.0 * rows_fw + _roll_m(rows_fw, s) + _roll_p(rows_fw, s)
     fc = lanes_fw * (4.0 / 16.0)  # FW/16 then the reference's x4 h^2 scaling
-    Hc = (H - 1) // 2 + 1
     Wc = (W - 1) // 2 + 1
     crow0 = (i - 1) * (R // 2)
     fc_out[...] = jnp.where(
-        _interior_mask(crow0, R // 2, Wp, Hc, Wc, 2 * s), fc, 0.0)
+        _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc, 0.0)
 
     # roll caches forward
-    cache[0:2, :] = jnp.where(i == 0, jnp.zeros((2, Wp), jnp.float32),
-                              cache[R : R + 2, :])
+    cache[0:2, :] = jnp.where(i == 0, uh_ref[6:8, :], cache[R : R + 2, :])
     cache[2 : R + 2, :] = u_ref[...]
     fch[0:1, :] = f_ref[R - 1 : R, :]
     if bim:
@@ -379,17 +428,36 @@ def _lagged_spec(R, Wp, off):
                         memory_space=pltpu.VMEM)
 
 
+def _halo_spec(Wp):
+    return pl.BlockSpec((8, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+_SMEM_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _default_bounds(H, W):
+    """Single-device updatable ranges: the global interior."""
+    Hc = (H - 1) // 2 + 1
+    return jnp.array([1, H - 2, 1, Hc - 2], jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "omega", "s", "mode", "R_up", "interpret",
     "vmem_mb"))
-def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, *, R, H, W, Wp, a0, da,
-               omega, s, mode, R_up, interpret, vmem_mb=None):
+def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, uh, uch, bnd, *, R, H, W,
+               Wp, a0, da, omega, s, mode, R_up, interpret, vmem_mb=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     with_corr = uc_pad is not None
+    if uh is None:
+        uh = jnp.zeros((8, Wp), u_pad.dtype)
+    if uch is None:
+        uch = jnp.zeros((8, Wp), u_pad.dtype)
+    if bnd is None:
+        bnd = _default_bounds(H, W)
     kern = functools.partial(
         _sweep_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega,
-        s=s, bim=bim, mode=("sweep" if with_corr else mode),
+        s=s, nb=nb, bim=bim, mode=("sweep" if with_corr else mode),
         with_corr=with_corr)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 0)]
     args = [u_pad, f_pad]
@@ -414,8 +482,9 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, *, R, H, W, Wp, a0, da,
         in_specs.append(_DUMMY_SPEC)
         args.append(jnp.zeros((32, 128), jnp.float32))
         scratch.append(pltpu.VMEM((8, 128), jnp.float32))
-    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-    args.append(dst)
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                 _halo_spec(Wp), _halo_spec(Wp), _SMEM_SPEC]
+    args += [dst, uh, uch, bnd]
     out, rsq = pl.pallas_call(
         kern,
         grid=(nb + 1,),
@@ -445,20 +514,28 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, *, R, H, W, Wp, a0, da,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "Rc", "interpret",
-    "vmem_mb"))
-def _run_swrr(u_pad, f_pad, ph_pad, dst, *, R, H, W, Wp, a0, da, omega, s,
-              Rc, interpret, vmem_mb=None):
+    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "Rc", "out_rows",
+    "interpret", "vmem_mb"))
+def _run_swrr(u_pad, f_pad, ph_pad, dst, uh, fh, phh, bnd, *, R, H, W, Wp,
+              a0, da, omega, s, Rc, interpret, vmem_mb=None, out_rows=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
-    Hc = (H - 1) // 2 + 1
-    Hpc = _round_up(Hc, Rc)
-    out_rows = Hpc + 2 * Rc
+    if out_rows is None:
+        Hc = (H - 1) // 2 + 1
+        out_rows = _round_up(Hc, Rc) + 2 * Rc
+    if uh is None:
+        uh = jnp.zeros((8, Wp), u_pad.dtype)
+    if fh is None:
+        fh = jnp.zeros((8, Wp), u_pad.dtype)
+    if phh is None:
+        phh = jnp.zeros((8, Wp), jnp.int8)
+    if bnd is None:
+        bnd = _default_bounds(H, W)
     assert (2 * Rc) % R == 0
     idx_off = 2 * Rc // R - 1
     assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
     kern = functools.partial(_swrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0,
-                             da=da, omega=omega, s=s, bim=bim)
+                             da=da, omega=omega, s=s, nb=nb, bim=bim)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 1)]
     args = [u_pad, f_pad]
     if bim:
@@ -467,8 +544,9 @@ def _run_swrr(u_pad, f_pad, ph_pad, dst, *, R, H, W, Wp, a0, da, omega, s,
     else:
         in_specs.append(_DUMMY_SPEC)
         args.append(jnp.zeros((32, 128), jnp.int8))
-    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-    args.append(dst)
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY), _halo_spec(Wp),
+                 _halo_spec(Wp), _halo_spec(Wp), _SMEM_SPEC]
+    args += [dst, uh, fh, phh, bnd]
     u1, fc, rsq = pl.pallas_call(
         kern,
         grid=(nb + 1,),
@@ -508,19 +586,24 @@ def _run_swrr(u_pad, f_pad, ph_pad, dst, *, R, H, W, Wp, a0, da, omega, s,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "H", "W", "Wp", "a0", "da", "s", "Rc", "interpret", "vmem_mb"))
-def _run_rr(u_pad, f_pad, ph_pad, *, R, H, W, Wp, a0, da, s, Rc, interpret,
-            vmem_mb=None):
+    "R", "H", "W", "Wp", "a0", "da", "s", "Rc", "out_rows", "interpret",
+    "vmem_mb"))
+def _run_rr(u_pad, f_pad, ph_pad, uh, bnd, *, R, H, W, Wp, a0, da, s, Rc,
+            interpret, vmem_mb=None, out_rows=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
-    Hc = (H - 1) // 2 + 1
-    Hpc = _round_up(Hc, Rc)
-    out_rows = Hpc + 2 * Rc
+    if out_rows is None:
+        Hc = (H - 1) // 2 + 1
+        out_rows = _round_up(Hc, Rc) + 2 * Rc
+    if uh is None:
+        uh = jnp.zeros((8, Wp), u_pad.dtype)
+    if bnd is None:
+        bnd = _default_bounds(H, W)
     assert (2 * Rc) % R == 0
     idx_off = 2 * Rc // R - 1
     assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
     kern = functools.partial(_rr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da,
-                             s=s, bim=bim)
+                             s=s, nb=nb, bim=bim)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 0)]
     args = [u_pad, f_pad]
     if bim:
@@ -529,6 +612,8 @@ def _run_rr(u_pad, f_pad, ph_pad, *, R, H, W, Wp, a0, da, s, Rc, interpret,
     else:
         in_specs.append(_DUMMY_SPEC)
         args.append(jnp.zeros((32, 128), jnp.int8))
+    in_specs += [_halo_spec(Wp), _SMEM_SPEC]
+    args += [uh, bnd]
     fc, rsq = pl.pallas_call(
         kern,
         grid=(nb + 1,),
@@ -640,57 +725,79 @@ class PallasLevel:
                     da=self.da, omega=self.omega, s=self.s,
                     interpret=self.interpret)
 
-    def sweep(self, u_pad, f_pad, dst=None):
+    def sweep(self, u_pad, f_pad, dst=None, uh=None, uch=None, bnd=None):
         """One fused weighted-Jacobi sweep -> (u_new, rsq).  ``rsq`` is the
         *pre-update* interior squared residual norm.  ``dst`` is a donated
-        same-shape buffer (pass the solve loop's ping-pong spare)."""
+        same-shape buffer (pass the solve loop's ping-pong spare).
+
+        ``uh``/``bnd`` support sharded execution (see ShardedPallasHierarchy):
+        an (8, Wp) u halo strip (row 7 = node row -1, row 0 = node row Hp)
+        and int32[4] local updatable-row bounds; None = single device."""
         if dst is None:
             dst = self.zeros()
-        return _run_sweep(u_pad, f_pad, self.ph_pad, None, dst,
+        return _run_sweep(u_pad, f_pad, self.ph_pad, None, dst, uh, uch, bnd,
                           mode="sweep", R_up=0, vmem_mb=self.vmem_mb,
                           **self._cfg())
 
-    def residual(self, u_pad, f_pad, dst=None):
+    def residual(self, u_pad, f_pad, dst=None, uh=None, bnd=None):
         """Interior-masked residual f - A u (+ its norm^2)."""
         if dst is None:
             dst = self.zeros()
-        return _run_sweep(u_pad, f_pad, self.ph_pad, None, dst,
+        return _run_sweep(u_pad, f_pad, self.ph_pad, None, dst, uh, None, bnd,
                           mode="residual", R_up=0, vmem_mb=self.vmem_mb,
                           **self._cfg())
 
     def psweep(self, u_pad, f_pad, uc_pad, R_up: Optional[int] = None, dst=None,
-               vmem_mb: Optional[int] = None):
+               vmem_mb: Optional[int] = None, uh=None, uch=None, bnd=None):
         """Fused (u += prolong(u_c); one Jacobi sweep) -> (u_new, rsq).
-        ``uc_pad``: the coarse level's buffer (stride 2s, ghost R_up rows)."""
+        ``uc_pad``: the coarse level's buffer (stride 2s, ghost R_up rows).
+        ``uch``: (8, Wp) coarse halo strip (row 7 = coarse row -1, row 0 =
+        coarse row Hp/2) for sharded execution."""
         if dst is None:
             dst = self.zeros()
-        return _run_sweep(u_pad, f_pad, self.ph_pad, uc_pad, dst,
+        return _run_sweep(u_pad, f_pad, self.ph_pad, uc_pad, dst, uh, uch, bnd,
                           mode="sweep", R_up=int(R_up if R_up is not None else self.Rc),
                           vmem_mb=(vmem_mb if vmem_mb is not None else self.vmem_mb),
                           **self._cfg())
 
-    def sweep_restrict(self, u_pad, f_pad, dst=None):
+    def sweep_restrict(self, u_pad, f_pad, dst=None, uh=None, fh=None,
+                       phh=None, bnd=None, out_rows: Optional[int] = None):
         """Fully-fused V-cycle descent leg: one pre-smoothing Jacobi sweep +
         residual of the swept iterate + x4 full-weighting restriction, in a
         single HBM pass -> (u1, f_c, rsq).  ``rsq`` is the PRE-sweep interior
         residual norm^2 (identical to ``sweep``'s); ``f_c`` is the coarse RHS
         in the coarse level's layout.  Equivalent to
         ``u1, rsq = sweep(u, f); f_c, _ = restrict_residual(u1, f)``.
-        Same ghost-block caveat on ``f_c`` as ``restrict_residual``."""
+        Same ghost-block caveat on ``f_c`` as ``restrict_residual``.
+
+        Sharded execution: ``uh`` rows 5..7 = u rows -3..-1, rows 0..1 = u
+        rows Hp, Hp+1; ``fh`` rows 6..7 = f rows -2..-1, row 0 = f row Hp;
+        ``phh`` rows 5..7 = element rows -3..-1, row 0 = element row Hp;
+        ``bnd`` int32[4] local bounds; ``out_rows`` overrides the coarse
+        buffer row count (local coarse Hp/2 + 2 Rc)."""
         if dst is None:
             dst = self.zeros()
-        return _run_swrr(u_pad, f_pad, self.ph_pad, dst, Rc=self.Rc,
-                         vmem_mb=self.vmem_mb, **self._cfg())
+        if phh is None and self.bim:
+            phh = jnp.zeros((8, self.Wp), jnp.int8)
+        return _run_swrr(u_pad, f_pad, self.ph_pad, dst, uh, fh, phh,
+                         bnd, Rc=self.Rc, vmem_mb=self.vmem_mb,
+                         out_rows=out_rows, **self._cfg())
 
-    def restrict_residual(self, u_pad, f_pad):
+    def restrict_residual(self, u_pad, f_pad, uh=None, bnd=None,
+                          out_rows: Optional[int] = None):
         """Fused residual + x4 full-weighting restriction -> (f_c, rsq).
         ``f_c`` is a fresh buffer in the coarse level's layout (stride 2s,
         ghost Rc rows); ``rsq`` is this level's squared residual norm.
+
+        Sharded execution: ``uh`` rows 6..7 = u rows -2..-1, row 0 = u row
+        Hp; the f (row -1) and element (rows -2..-1) halos must be written
+        into the top ghost blocks of ``f_pad``/``ph_pad`` (buffer rows
+        R-1 / R-2..R-1), which this kernel streams.
 
         WARNING: ``f_c``'s top ghost half-block and trailing slack rows are
         uninitialized (see the invariant note in ``_run_rr``); mask with
         ``jnp.where`` before any whole-buffer reduction or copy."""
         cfg = self._cfg()
         cfg.pop("omega")
-        return _run_rr(u_pad, f_pad, self.ph_pad, Rc=self.Rc,
-                       vmem_mb=self.vmem_mb, **cfg)
+        return _run_rr(u_pad, f_pad, self.ph_pad, uh, bnd, Rc=self.Rc,
+                       vmem_mb=self.vmem_mb, out_rows=out_rows, **cfg)

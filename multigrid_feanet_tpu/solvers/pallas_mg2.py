@@ -65,7 +65,8 @@ class PallasHierarchyV2:
     def __init__(self, problem: Problem, num_levels: Optional[int] = None,
                  omega: float = DEFAULT_OMEGA, pallas_threshold: int = 256,
                  rows: int = 64, interpret: Optional[bool] = None,
-                 direct_coarse: bool = True, psweep_vmem_mb: Optional[int] = None):
+                 direct_coarse: bool = True, psweep_vmem_mb: Optional[int] = None,
+                 rows_coarse: Optional[int] = 32, coarse_rows_below: int = 1024):
         self.problem = problem
         self.hier = GridHierarchy.create(problem, num_levels)
         self.omega = float(omega)
@@ -80,14 +81,26 @@ class PallasHierarchyV2:
             "finest level is below pallas_threshold - use solvers/multigrid.py "
             "or solvers/pallas_mg.py for small problems")
         self.K = K
+
+        # Row-block schedule: fine levels use ``rows``; levels with
+        # n < coarse_rows_below drop to ``rows_coarse`` (their padded row
+        # counts round up to the block size, so large blocks waste an
+        # increasing fraction of each small level's traffic).
+        def _rows_for(n_level: int) -> int:
+            if rows_coarse is None or n_level >= coarse_rows_below:
+                return rows
+            return rows_coarse
+
         Wp = None
         self.pl = []
         for l in range(min(K + 1, L)):
             lv = levels[l]
             phase = problem.phase(lv.n) if lv.pid is not None else None
+            R_l = _rows_for(lv.n)
+            R_next = _rows_for(levels[l + 1].n) if l + 1 < L else R_l
             p = PallasLevel(lv.n, stride=1 << l, phase=phase,
                             coefficients=problem.coefficients, omega=omega,
-                            Wp=Wp, rows=rows, rows_next=rows,
+                            Wp=Wp, rows=R_l, rows_next=R_next,
                             interpret=interpret)
             Wp = p.Wp
             self.pl.append(p)
@@ -172,7 +185,7 @@ class PallasHierarchyV2:
     # ---- solve entry point (one device dispatch, one host sync) ----
 
     def solve(self, f, u0=None, bc_value=None, nu1: int = 1, nu2: int = 1,
-              eps: float = 1e-6, max_cycles: int = 100):
+              eps: float = 1e-6, max_cycles: int = 100, chunk: int = 1):
         """V-cycle solve to interior residual ``eps``.
 
         ``f`` is the mass-convolved RHS as a plain (n+1, n+1) field.
@@ -193,6 +206,12 @@ class PallasHierarchyV2:
         full-buffer copy per level per cycle (~2x fine-sweep cost).  Even
         schedules — V(1,1), V(2,2) — run copy-free; V(2,1)/V(1,2) are
         correct but pay the copy.
+
+        ``chunk`` > 1 runs that many cycles per while-loop iteration and
+        tests ``eps`` once per chunk (cheaper loop plumbing); the returned
+        ``u`` may then include up to ``chunk - 1`` further extra cycles,
+        but ``history`` is still trimmed to the first cycle whose residual
+        met ``eps`` (identical to ``chunk=1``).
         """
         lv0, p0 = self.hier.finest, self.pl[0]
         H = lv0.n_nodes
@@ -200,7 +219,7 @@ class PallasHierarchyV2:
             u0 = jnp.zeros((H, H), p0.dtype)
         u0 = reset_boundary(u0, lv0.geo, 0.0 if bc_value is None else bc_value)
 
-        key = ("solve", nu1, nu2, float(eps), max_cycles)
+        key = ("solve", nu1, nu2, float(eps), max_cycles, chunk)
         if key not in self._compiled:
 
             @jax.jit
@@ -208,7 +227,8 @@ class PallasHierarchyV2:
                 u = p0.pad(u0_plain)
                 sp = p0.zeros()
                 fb = p0.pad(f_plain)
-                hist0 = jnp.full((max_cycles + 1,), jnp.inf, dtype=jnp.float32)
+                # -1 sentinel marks never-written entries (norms are >= 0)
+                hist0 = jnp.full((max_cycles + chunk,), -1.0, dtype=jnp.float32)
 
                 def cond(c):
                     u, sp, k, res, hist = c
@@ -216,20 +236,26 @@ class PallasHierarchyV2:
 
                 def body(c):
                     u, sp, k, res, hist = c
-                    u, sp, rsq = self._cycle0(u, sp, fb, nu1, nu2)
-                    res = jnp.sqrt(rsq).astype(jnp.float32)
-                    # rsq is the residual of the state ENTERING this body,
-                    # i.e. after k completed cycles.
-                    return (u, sp, k + 1, res, hist.at[k].set(res))
+                    for _ in range(chunk):
+                        u, sp, rsq = self._cycle0(u, sp, fb, nu1, nu2)
+                        res = jnp.sqrt(rsq).astype(jnp.float32)
+                        # rsq is the residual of the state ENTERING this
+                        # cycle, i.e. after k completed cycles.
+                        hist = hist.at[k].set(res)
+                        k = k + 1
+                    return (u, sp, k, res, hist)
 
                 u, sp, k, res, hist = jax.lax.while_loop(
                     cond, body, (u, sp, jnp.int32(0), jnp.float32(jnp.inf), hist0)
                 )
-                return p0.unpad(u), k, hist
+                return p0.unpad(u), hist
 
             self._compiled[key] = run
-        u, k, hist = self._compiled[key](u0, f)
-        k = int(k)
-        # hist[i] = residual after i cycles (hist[0] = initial residual);
-        # drop it for the reference's "after cycle j+1" convention.
-        return u, np.asarray(hist)[1:k]
+        u, hist = self._compiled[key](u0, f)
+        # ONE host fetch: derive the cycle count from the history itself.
+        # hist[i] = residual after i cycles (hist[0] = initial residual).
+        vals = np.asarray(hist)
+        k = int(np.sum(vals >= 0.0))
+        below = np.nonzero(vals[:k] <= eps)[0]
+        c = int(below[0]) if below.size else k - 1
+        return u, vals[1 : c + 1]
