@@ -146,13 +146,15 @@ def _interior_mask(row0, L, Wp, lo, hi, W, s):
     return rm & lm
 
 
-def _owned_rows_mask(row0, L, Hp):
-    """Static mask of the rows whose residual THIS shard's rsq owns:
-    local rows [-1, Hp - 2] for the restriction kernels (each shard's step
-    coverage [(i-1)R - 1, iR - 1) then tiles the global grid exactly once
-    when shards abut — shard i's row -1 is shard i-1's row Hloc - 1)."""
+def _owned_rows_mask(row0, L, own_lo, own_hi):
+    """Static mask of the rows whose residual THIS shard's rsq owns, so the
+    shard partial sums tile the global grid exactly once under psum.  The
+    restriction kernels own [-1, Hloc-2] (their step coverage overlaps one
+    row; shard i's row -1 is shard i-1's row Hloc-1); the sweep kernels own
+    [0, Hloc-1] (their coverage [0, HpLoc) can spill past the data into the
+    in-buffer south halo row)."""
     gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-    return (gr >= -1) & (gr <= Hp - 2)
+    return (gr >= own_lo) & (gr <= own_hi)
 
 
 # ---------------------------------------------------------------------------
@@ -162,7 +164,7 @@ def _owned_rows_mask(row0, L, Hp):
 
 def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
                   bnd_ref, u_out, rsq_ref, cache, phc, ucc, *, R, H, W, Wp,
-                  a0, da, omega, s, nb, bim, mode, with_corr):
+                  a0, da, omega, s, nb, own_hi, bim, mode, with_corr):
     """Grid step i emits node rows [(i-1)R, iR).
 
     Pipeline blocks (ghost-block layouts, data row g at buffer row g + R_lv):
@@ -223,7 +225,8 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
 
     @pl.when(i > 0)
     def _():
-        rsq_ref[i - 1, 0] = jnp.sum(r * r)
+        rq = jnp.where(_owned_rows_mask(row0 + 1, R, 0, own_hi), r, 0.0)
+        rsq_ref[i - 1, 0] = jnp.sum(rq * rq)
 
     # roll caches forward
     cache[0:1, :] = jnp.where(i == 0, uh_ref[7:8, :], cache[R : R + 1, :])
@@ -245,7 +248,7 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
 
 def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
                  bnd_ref, u1_out, fc_out, rsq_ref, uwin, fwin, phw, u1c, *,
-                 R, H, W, Wp, a0, da, omega, s, nb, bim):
+                 R, H, W, Wp, a0, da, omega, s, nb, own_hi, bim):
     """Grid step i emits u1 node rows [(i-1)R, iR) AND coarse rows
     [(i-1)R/2, iR/2) of f_c = 4*FW(f - A u1), where u1 = jacobi_sweep(u0).
 
@@ -296,7 +299,7 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
 
     @pl.when(i > 0)
     def _():
-        rq = jnp.where(_owned_rows_mask(row0 + 1, R, nb * R), r0[0:R, :], 0.0)
+        rq = jnp.where(_owned_rows_mask(row0 + 1, R, -1, own_hi), r0[0:R, :], 0.0)
         rsq_ref[i - 1, 0] = jnp.sum(rq * rq)
 
     # residual of u1 on rows [(i-1)R - 1, iR - 1]
@@ -352,7 +355,7 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
 
 
 def _rr_kernel(u_ref, f_ref, ph_ref, uh_ref, bnd_ref, fc_out, rsq_ref,
-               cache, fch, phc, *, R, H, W, Wp, a0, da, s, nb, bim):
+               cache, fch, phc, *, R, H, W, Wp, a0, da, s, nb, own_hi, bim):
     """Grid step i emits coarse node rows [(i-1)R/2, iR/2) of f_c = 4*FW(r).
 
     Needs residual rows [(i-1)R - 1, iR - 1] (R+1 rows), hence u rows
@@ -391,7 +394,7 @@ def _rr_kernel(u_ref, f_ref, ph_ref, uh_ref, bnd_ref, fc_out, rsq_ref,
     def _():
         # rows [(i-1)R - 1, iR - 1): disjoint across steps; the owned-rows
         # clamp makes shard partial sums tile the global grid exactly once
-        rq = jnp.where(_owned_rows_mask(row0 + 1, R, nb * R), r[0:R, :], 0.0)
+        rq = jnp.where(_owned_rows_mask(row0 + 1, R, -1, own_hi), r[0:R, :], 0.0)
         rsq_ref[i - 1, 0] = jnp.sum(rq * rq)
 
     # row full-weighting: coarse row I <- fine rows 2I-1, 2I, 2I+1 with
@@ -443,9 +446,10 @@ def _default_bounds(H, W):
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "omega", "s", "mode", "R_up", "interpret",
-    "vmem_mb"))
+    "vmem_mb", "own_rows"))
 def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, uh, uch, bnd, *, R, H, W,
-               Wp, a0, da, omega, s, mode, R_up, interpret, vmem_mb=None):
+               Wp, a0, da, omega, s, mode, R_up, interpret, vmem_mb=None,
+               own_rows=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     with_corr = uc_pad is not None
@@ -457,7 +461,8 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, uh, uch, bnd, *, R, H, W,
         bnd = _default_bounds(H, W)
     kern = functools.partial(
         _sweep_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega,
-        s=s, nb=nb, bim=bim, mode=("sweep" if with_corr else mode),
+        s=s, nb=nb, own_hi=(own_rows if own_rows is not None else nb * R) - 1,
+        bim=bim, mode=("sweep" if with_corr else mode),
         with_corr=with_corr)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 0)]
     args = [u_pad, f_pad]
@@ -515,9 +520,10 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, uh, uch, bnd, *, R, H, W,
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "omega", "s", "Rc", "out_rows",
-    "interpret", "vmem_mb"))
+    "own_rows", "interpret", "vmem_mb"))
 def _run_swrr(u_pad, f_pad, ph_pad, dst, uh, fh, phh, bnd, *, R, H, W, Wp,
-              a0, da, omega, s, Rc, interpret, vmem_mb=None, out_rows=None):
+              a0, da, omega, s, Rc, interpret, vmem_mb=None, out_rows=None,
+              own_rows=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if out_rows is None:
@@ -535,7 +541,9 @@ def _run_swrr(u_pad, f_pad, ph_pad, dst, uh, fh, phh, bnd, *, R, H, W, Wp,
     idx_off = 2 * Rc // R - 1
     assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
     kern = functools.partial(_swrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0,
-                             da=da, omega=omega, s=s, nb=nb, bim=bim)
+                             da=da, omega=omega, s=s, nb=nb,
+                             own_hi=(own_rows if own_rows is not None
+                                     else nb * R) - 2, bim=bim)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 1)]
     args = [u_pad, f_pad]
     if bim:
@@ -586,10 +594,10 @@ def _run_swrr(u_pad, f_pad, ph_pad, dst, uh, fh, phh, bnd, *, R, H, W, Wp,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "H", "W", "Wp", "a0", "da", "s", "Rc", "out_rows", "interpret",
-    "vmem_mb"))
+    "R", "H", "W", "Wp", "a0", "da", "s", "Rc", "out_rows", "own_rows",
+    "interpret", "vmem_mb"))
 def _run_rr(u_pad, f_pad, ph_pad, uh, bnd, *, R, H, W, Wp, a0, da, s, Rc,
-            interpret, vmem_mb=None, out_rows=None):
+            interpret, vmem_mb=None, out_rows=None, own_rows=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if out_rows is None:
@@ -603,7 +611,9 @@ def _run_rr(u_pad, f_pad, ph_pad, uh, bnd, *, R, H, W, Wp, a0, da, s, Rc,
     idx_off = 2 * Rc // R - 1
     assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
     kern = functools.partial(_rr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da,
-                             s=s, nb=nb, bim=bim)
+                             s=s, nb=nb,
+                             own_hi=(own_rows if own_rows is not None
+                                     else nb * R) - 2, bim=bim)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 0)]
     args = [u_pad, f_pad]
     if bim:
@@ -725,7 +735,8 @@ class PallasLevel:
                     da=self.da, omega=self.omega, s=self.s,
                     interpret=self.interpret)
 
-    def sweep(self, u_pad, f_pad, dst=None, uh=None, uch=None, bnd=None):
+    def sweep(self, u_pad, f_pad, dst=None, uh=None, uch=None, bnd=None,
+              ph_pad=None, own_rows=None):
         """One fused weighted-Jacobi sweep -> (u_new, rsq).  ``rsq`` is the
         *pre-update* interior squared residual norm.  ``dst`` is a donated
         same-shape buffer (pass the solve loop's ping-pong spare).
@@ -735,9 +746,11 @@ class PallasLevel:
         and int32[4] local updatable-row bounds; None = single device."""
         if dst is None:
             dst = self.zeros()
-        return _run_sweep(u_pad, f_pad, self.ph_pad, None, dst, uh, uch, bnd,
+        return _run_sweep(u_pad, f_pad,
+                          self.ph_pad if ph_pad is None else ph_pad,
+                          None, dst, uh, uch, bnd,
                           mode="sweep", R_up=0, vmem_mb=self.vmem_mb,
-                          **self._cfg())
+                          own_rows=own_rows, **self._cfg())
 
     def residual(self, u_pad, f_pad, dst=None, uh=None, bnd=None):
         """Interior-masked residual f - A u (+ its norm^2)."""
@@ -748,20 +761,24 @@ class PallasLevel:
                           **self._cfg())
 
     def psweep(self, u_pad, f_pad, uc_pad, R_up: Optional[int] = None, dst=None,
-               vmem_mb: Optional[int] = None, uh=None, uch=None, bnd=None):
+               vmem_mb: Optional[int] = None, uh=None, uch=None, bnd=None,
+               ph_pad=None, own_rows=None):
         """Fused (u += prolong(u_c); one Jacobi sweep) -> (u_new, rsq).
         ``uc_pad``: the coarse level's buffer (stride 2s, ghost R_up rows).
         ``uch``: (8, Wp) coarse halo strip (row 7 = coarse row -1, row 0 =
         coarse row Hp/2) for sharded execution."""
         if dst is None:
             dst = self.zeros()
-        return _run_sweep(u_pad, f_pad, self.ph_pad, uc_pad, dst, uh, uch, bnd,
+        return _run_sweep(u_pad, f_pad,
+                          self.ph_pad if ph_pad is None else ph_pad,
+                          uc_pad, dst, uh, uch, bnd,
                           mode="sweep", R_up=int(R_up if R_up is not None else self.Rc),
                           vmem_mb=(vmem_mb if vmem_mb is not None else self.vmem_mb),
-                          **self._cfg())
+                          own_rows=own_rows, **self._cfg())
 
     def sweep_restrict(self, u_pad, f_pad, dst=None, uh=None, fh=None,
-                       phh=None, bnd=None, out_rows: Optional[int] = None):
+                       phh=None, bnd=None, out_rows: Optional[int] = None,
+                       own_rows: Optional[int] = None, ph_pad=None):
         """Fully-fused V-cycle descent leg: one pre-smoothing Jacobi sweep +
         residual of the swept iterate + x4 full-weighting restriction, in a
         single HBM pass -> (u1, f_c, rsq).  ``rsq`` is the PRE-sweep interior
@@ -779,9 +796,11 @@ class PallasLevel:
             dst = self.zeros()
         if phh is None and self.bim:
             phh = jnp.zeros((8, self.Wp), jnp.int8)
-        return _run_swrr(u_pad, f_pad, self.ph_pad, dst, uh, fh, phh,
+        return _run_swrr(u_pad, f_pad,
+                         self.ph_pad if ph_pad is None else ph_pad,
+                         dst, uh, fh, phh,
                          bnd, Rc=self.Rc, vmem_mb=self.vmem_mb,
-                         out_rows=out_rows, **self._cfg())
+                         out_rows=out_rows, own_rows=own_rows, **self._cfg())
 
     def restrict_residual(self, u_pad, f_pad, uh=None, bnd=None,
                           out_rows: Optional[int] = None):
