@@ -37,10 +37,12 @@ def main():
     import jax
     import jax.numpy as jnp
     from multigrid_feanet_tpu.core import geometry
-    from multigrid_feanet_tpu.core.problem import Problem
-    from multigrid_feanet_tpu.ops import stencil
+    from multigrid_feanet_tpu.core.problem import Problem, GridHierarchy
+    from multigrid_feanet_tpu.ops import heat, stencil
     from multigrid_feanet_tpu.ops.pallas_stencil import PallasStencil
     from multigrid_feanet_tpu.ops.pallas_sweep import PallasLevel
+    from multigrid_feanet_tpu.solvers import elastic as elastic_mod
+    from multigrid_feanet_tpu.solvers import hmg, jacobi
     from multigrid_feanet_tpu.solvers.pallas_mg2 import PallasHierarchyV2
 
     n = 4096
@@ -136,6 +138,58 @@ def main():
     d_cycles = cycles - len(hist1)
     ms_per_cycle = (t_solve - t_short) / max(d_cycles, 1) * 1e3
 
+    # --- heat theta-system sweep (gather-free affine bitplane), 4097^2 ---
+    heat_hier = heat.heat_system_hierarchy(
+        Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5),
+                dtype=jnp.float32), dt=1e-3, theta=0.5, num_levels=1)
+    hl = heat_hier.finest
+
+    @jax.jit
+    def heat_loop(u_, f_):
+        def body(u_, _):
+            return jacobi.jacobi_step(hl, u_, f_, 0.0), None
+        return jax.lax.scan(body, u_, None, length=50)[0]
+
+    hu = heat_loop(u, f)
+    jax.block_until_ready(hu)
+    t0 = time.time()
+    hu = heat_loop(hu, f)
+    jax.block_until_ready(hu)
+    heat_sweep_us = (time.time() - t0) / 50 * 1e6
+
+    # --- elastic block-Jacobi sweep (vector bitplane), 2049^2 bi-material ---
+    ne = 2048
+    elev = elastic_mod.build_elastic_hierarchy(
+        ne, inclusion=("circle", (0.0, 0.0), 0.5), coefficients=(1.0, 20.0),
+        num_levels=1)[0]
+    ue = jnp.asarray(rng.standard_normal((2, ne + 1, ne + 1)), jnp.float32)
+    fe = jnp.asarray(rng.standard_normal((2, ne + 1, ne + 1)), jnp.float32)
+
+    @jax.jit
+    def el_loop(u_, f_):
+        def body(u_, _):
+            return elastic_mod.relax(elev, u_, f_, 1), None
+        return jax.lax.scan(body, u_, None, length=30)[0]
+
+    eu = el_loop(ue, fe)
+    jax.block_until_ready(eu)
+    t0 = time.time()
+    eu = el_loop(eu, fe)
+    jax.block_until_ready(eu)
+    elastic_sweep_us = (time.time() - t0) / 30 * 1e6
+
+    # --- H-MG: V-cycles with the learned H-Net smoother at 4097^2 ---
+    # (fused whole-solve, solvers/hmg.py; our own trained H-Net params)
+    from multigrid_feanet_tpu.utils import checkpoint as ckpt
+    hp = ckpt.load("results/learn_iterator/hnet.npz")[0]
+    hier_mg = GridHierarchy.create(problem)
+    hmg.solve(hier_mg, jnp.asarray(hp), f0, u0=u0, eps=1e-6, max_cycles=40,
+              mode="hjac")
+    t0 = time.time()
+    uh, hh = hmg.solve(hier_mg, jnp.asarray(hp), f0, u0=u0, eps=1e-6,
+                       max_cycles=40, mode="hjac")
+    t_hmg = time.time() - t0
+
     result = {
         "metric": "jacobi_sweep_nnz_per_s_4097sq_bimaterial_v2",
         "value": rate_bi,
@@ -151,6 +205,11 @@ def main():
         "vcycle_4097_final_res": float(hist[-1]),
         "vcycle_4097_q": q,
         "vcycle_4097_ms_per_cycle_net": ms_per_cycle,
+        "heat_sweep_us_4097_bimaterial": heat_sweep_us,
+        "elastic_sweep_us_2049_bimaterial": elastic_sweep_us,
+        "hmg_4097_solve_s": t_hmg,
+        "hmg_4097_cycles": len(hh),
+        "hmg_4097_final_res": float(hh[-1]),
         "effective_hbm_gbps_bimaterial": 13 * lv_bi.Hp * lv_bi.Wp / dt_bi / 1e9,
         "device": str(jax.devices()[0]),
     }

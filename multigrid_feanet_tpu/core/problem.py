@@ -46,6 +46,12 @@ class Level:
     pid: Optional[jax.Array] = None  # (n+1, n+1) int8 pattern ids; None if homogeneous
     geo: jax.Array = None  # (n+1, n+1) interior mask
     diag: jax.Array = None  # (n+1, n+1) diag(A)
+    # affine-bitplane operator A = base (3,3 stencil) + bit_scale * phase
+    # bitplanes — the gather-free form for phase-affine systems that are not
+    # pure stiffness (theta-scheme heat: M + theta dt K); see
+    # stencil.apply_stencil_bitplane_affine
+    base: Optional[jax.Array] = None
+    bit_scale: Optional[float] = struct.field(pytree_node=False, default=None)
 
     @property
     def n_nodes(self) -> int:
@@ -56,7 +62,11 @@ class Level:
         return self.pid is None
 
     def apply(self, u: jax.Array) -> jax.Array:
-        """A @ u on this level (bitplane form when two-phase, else gather)."""
+        """A @ u on this level (bitplane form when two-phase or phase-affine,
+        gather only as the general-table fallback)."""
+        if self.pid is not None and self.base is not None:
+            return stencil.apply_stencil_bitplane_affine(
+                self.pid, u, self.base, self.bit_scale)
         if self.pid is not None and self.a0 is not None:
             return stencil.apply_stencil_bitplane(self.pid, u, self.a0, self.a1)
         return stencil.apply_stencil(self.table, self.pid, u)

@@ -195,20 +195,25 @@ def apply_elastic_bitplane(pid: jax.Array, u: jax.Array, E: float, nu: float,
     da = float(a1) - float(a0)
 
     def block_taps(table_np, scale_plane=None):
-        out = jnp.zeros_like(u)
-        for dr in range(3):
-            for dc in range(3):
-                blk = table_np[dr, dc]
-                if not np.any(blk):
-                    continue
-                shifted = up[..., dr : dr + H, dc : dc + W]  # (..., 2, H, W)
-                for oc in range(2):
+        # accumulate per output component and stack ONCE — .at[].add into a
+        # (2, H, W) buffer per tap lowers to dozens of dynamic-update-slices
+        # on TPU (measured 34 ms/sweep at 2049^2 vs ~2 ms for this form)
+        comps = []
+        for oc in range(2):
+            acc_c = None
+            for dr in range(3):
+                for dc in range(3):
+                    blk = table_np[dr, dc]
+                    if not np.any(blk[oc]):
+                        continue
+                    shifted = up[..., dr : dr + H, dc : dc + W]  # (...,2,H,W)
                     term = (blk[oc, 0] * shifted[..., 0, :, :]
                             + blk[oc, 1] * shifted[..., 1, :, :])
-                    if scale_plane is not None:
-                        term = term * scale_plane
-                    out = out.at[..., oc, :, :].add(term)
-        return out
+                    acc_c = term if acc_c is None else acc_c + term
+            if scale_plane is not None:
+                acc_c = acc_c * scale_plane
+            comps.append(acc_c)
+        return jnp.stack(comps, axis=-3)
 
     acc = float(a0) * block_taps(s9)
     p = pid.astype(jnp.int32)

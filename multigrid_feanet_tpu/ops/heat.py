@@ -38,12 +38,17 @@ def mass_table(h: float, num_patterns: int = 16, dtype=jnp.float64) -> jax.Array
 
 def heat_system_hierarchy(problem: Problem, dt: float, theta: float = 1.0,
                           num_levels: Optional[int] = None) -> GridHierarchy:
-    """Hierarchy whose per-level operator is  M + theta dt K.
+    """Hierarchy whose per-level operator is  B = M + theta dt K.
 
-    The system table loses the pure-stiffness bitplane structure, so levels
-    are built with a0/a1 unset (general gather path).
+    B is AFFINE in the 4 element-phase bits (the consistent mass matrix is
+    phase-independent), so bi-material levels carry the gather-free
+    affine-bitplane form:  base = h^2 MASS + theta dt a0 S9,
+    bit_scale = theta dt (a1 - a0)  (stencil.apply_stencil_bitplane_affine).
+    The (16,3,3) system table is still assembled for general consumers
+    (diagonal, dense oracles).
     """
     base = GridHierarchy.create(problem, num_levels)
+    s9 = stencil.make_homogeneous_stencil(dtype=problem.dtype)
     levels = []
     for lv in base.levels:
         if lv.pid is None:
@@ -56,8 +61,11 @@ def heat_system_hierarchy(problem: Problem, dt: float, theta: float = 1.0,
             mt = mass_table(lv.h, lv.table.shape[0], dtype=lv.table.dtype)
             sys_tab = mt + theta * dt * lv.table
             diag = stencil.stencil_diagonal(sys_tab, lv.pid)
-            # clear a0/a1 so Level.apply uses the general gather path
-            levels.append(lv.replace(table=sys_tab, diag=diag, a0=None, a1=None))
+            sys_base = ((lv.h * lv.h) * jnp.asarray(stencil.MASS_KERNEL)
+                        + (theta * dt * lv.a0) * s9).astype(lv.table.dtype)
+            levels.append(lv.replace(
+                table=sys_tab, diag=diag, a0=None, a1=None,
+                base=sys_base, bit_scale=float(theta * dt * (lv.a1 - lv.a0))))
     return GridHierarchy(levels=tuple(levels))
 
 

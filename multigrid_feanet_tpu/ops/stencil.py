@@ -231,6 +231,24 @@ def apply_stencil_bitplane(pid: jax.Array, u: jax.Array, a0: float, a1: float) -
     return acc
 
 
+def apply_stencil_bitplane_affine(pid: jax.Array, u: jax.Array,
+                                  base: jax.Array, bit_scale: float) -> jax.Array:
+    """A @ u for any operator AFFINE in the 4 element-phase bits:
+
+        A u = base * u  (a fixed 3x3 stencil)  +  bit_scale * sum_e bit_e(pid) S4_e(u)
+
+    Generalizes :func:`apply_stencil_bitplane` (base = a0*S9, bit_scale =
+    a1-a0) to e.g. the theta-scheme heat system M + theta*dt*K, whose mass
+    part is phase-independent: base = h^2*MASS + theta*dt*a0*S9, bit_scale
+    = theta*dt*(a1-a0).  Pure shifts/FMAs, no per-node gather."""
+    acc = apply_stencil(base.astype(u.dtype), None, u)
+    p = pid.astype(jnp.int32)
+    for e, taps in enumerate(UNIT_S4):
+        bit = ((p >> e) & 1).astype(u.dtype)
+        acc = acc + (bit_scale * bit) * _taps(u, taps)
+    return acc
+
+
 def stencil_diagonal(table: jax.Array, pid: jax.Array | None, shape=None) -> jax.Array:
     """diag(A) as a field — the center entry of each node's stencil.
     (reference: FEANet/jacobi.py:31-37)"""

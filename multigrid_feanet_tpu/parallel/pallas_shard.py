@@ -238,8 +238,12 @@ class ShardedPallasHierarchyV2:
                 cb, fcb, dst=spare, uh=uh, fh=fstrip, phh=phh, bnd=bnd,
                 out_rows=self.B[l + 1], own_rows=self.Hloc[l], ph_pad=ph)
             cur, spare = out, cb
-            uc, ucstrip = self._coarse_correction(l + 1, fcc, nu1, nu2, ix)
+            # HALO/COMPUTE OVERLAP: issue the psweep's u-halo exchange NOW —
+            # it depends only on the pre-smoothed iterate, not on the coarse
+            # correction, so the ppermutes ride ICI underneath the entire
+            # coarse subtree below this level.
             cb, uh = self._exchange(cur, l)
+            uc, ucstrip = self._coarse_correction(l + 1, fcc, nu1, nu2, ix)
             out, _ = p.psweep(cb, fcb, uc, dst=spare, uh=uh, uch=ucstrip,
                               bnd=bnd, ph_pad=ph, own_rows=self.Hloc[l])
             cur, spare = out, cb
@@ -301,8 +305,11 @@ class ShardedPallasHierarchyV2:
             out_rows=self.B[1], own_rows=self.Hloc[0], ph_pad=ph)
         rsq = r if rsq is None else rsq
         cur, spare = out, cb
-        uc, ucstrip = self._coarse_correction(1, fc, nu1, nu2, ix)
+        # overlap: the psweep's u-halo exchange is independent of the coarse
+        # correction — issue it before recursing so it hides under the
+        # whole coarse subtree (see _coarse_correction)
         cb, uh = self._exchange(cur, 0)
+        uc, ucstrip = self._coarse_correction(1, fc, nu1, nu2, ix)
         out, _ = p.psweep(cb, fb, uc, dst=spare, uh=uh, uch=ucstrip,
                           bnd=bnd, ph_pad=ph, own_rows=self.Hloc[0])
         cur, spare = out, cb

@@ -48,9 +48,57 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: jax.distributed.initialize (idempotent).
+
+    On a real multi-host pod slice each host calls this once before any
+    backend use; with no arguments JAX auto-detects the cluster environment
+    (TPU metadata / SLURM / env vars).  Single-process (including the CPU
+    fake-pod and the single-chip tunnel) is a no-op.  Returns the process
+    count."""
+    if jax.process_count() > 1:
+        return jax.process_count()  # already initialized
+    if coordinator_address is None and num_processes in (None, 1):
+        return jax.process_count()
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized
+    return jax.process_count()
+
+
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None) -> Mesh:
-    """Factorize devices into a ("dp", "x", "y") mesh.  With no hints, uses
-    dp=1 and the most-square spatial split."""
+    """Factorize devices into a ("dp", "x", "y") mesh.
+
+    Multi-host: when ``jax.process_count() > 1``, the mesh is laid out
+    DCN-outer / ICI-inner — the "dp" axis spans hosts (its collectives are
+    the gradient/batch reductions that tolerate DCN latency) while the
+    spatial ("x", "y") axes stay within each host's ICI domain, so every
+    halo exchange rides ICI (jax.experimental.mesh_utils.
+    create_hybrid_device_mesh).  Single-host: dp=1 and the most-square
+    spatial split over local devices."""
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        from jax.experimental import mesh_utils
+
+        per_host = len(jax.local_devices())
+        if dp is None:
+            dp = n_proc
+        assert dp % n_proc == 0, (dp, n_proc)
+        spatial = (n_proc * per_host) // dp
+        sx = int(np.sqrt(spatial))
+        while spatial % sx:
+            sx -= 1
+        sy = spatial // sx
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(dp // n_proc, sx, sy),
+            dcn_mesh_shape=(n_proc, 1, 1),
+        )
+        return Mesh(arr, ("dp", "x", "y"))
     devices = jax.devices()
     n = n_devices or len(devices)
     devices = devices[:n]
@@ -264,6 +312,117 @@ def halo_exchange(local: jax.Array, axis_x: str = "x", axis_y: str = "y") -> jax
     left = jnp.where(iy == 0, 0.0, left)
     right = jnp.where(iy == ny - 1, 0.0, right)
     return jnp.concatenate([left, body, right], axis=1)
+
+
+def _bitplane_update(uh, f, pid, row0, col0, H, W, a0, da, omega, bimaterial,
+                     r_off=0, c_off=0):
+    """One masked omega-Jacobi update on an (h, w) output region whose
+    haloed window is ``uh`` ((h+2, w+2)); ``f``/``pid`` are the matching
+    (h, w) tiles and (row0 + r_off, col0 + c_off) the region's global
+    origin.  Tap order matches shardmap_jacobi_step exactly (bitwise)."""
+    import jax.numpy as jnp
+
+    h, w = f.shape
+    u = uh[1 : 1 + h, 1 : 1 + w]
+    acc = None
+    for (dr, dc), wgt in _stencil.UNIT_S9.items():
+        t = (a0 * wgt) * uh[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+        acc = t if acc is None else acc + t
+    if bimaterial:
+        p = pid.astype(jnp.int32)
+        for e, taps in enumerate(_stencil.UNIT_S4):
+            bit = ((p >> e) & 1).astype(u.dtype)
+            t4 = None
+            for (dr, dc), wgt in taps.items():
+                t = wgt * uh[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+                t4 = t if t4 is None else t4 + t
+            acc = acc + (da * bit) * t4
+        nbits = (p & 1) + ((p >> 1) & 1) + ((p >> 2) & 1) + ((p >> 3) & 1)
+        d = (2.0 / 3.0) * (4.0 * a0 + da * nbits.astype(u.dtype))
+    else:
+        d = jnp.asarray((8.0 / 3.0) * a0, u.dtype)
+    r = f - acc
+    gr = row0 + r_off + jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    gc = col0 + c_off + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = (gr >= 1) & (gr <= H - 2) & (gc >= 1) & (gc <= W - 2)
+    return jnp.where(interior, u + (omega / d) * r, u)
+
+
+def shardmap_jacobi_step_overlap(mesh: Mesh, H: int, W: int, a0: float,
+                                 a1: Optional[float], omega: float = 2.0 / 3.0):
+    """Halo/compute-OVERLAPPED variant of :func:`shardmap_jacobi_step`.
+
+    The shard-local sweep is split into interior + rim: the ppermutes are
+    issued first, the interior block (which needs no halo) is computed
+    while they are in flight, and only the 1-node rim consumes the received
+    halos — XLA's latency-hiding scheduler can then run the collectives
+    under the interior compute (SURVEY §2.6 "interior stencil compute while
+    halo in flight").  Value-identical (bitwise) to the synchronous step:
+    every region uses the same tap order on the same window values.
+    """
+    import jax.numpy as jnp
+
+    bimaterial = a1 is not None
+    da = (a1 - a0) if bimaterial else 0.0
+
+    def local_step(u, f, pid, row0, col0):
+        h, w = u.shape
+        nx = jax.lax.axis_size("x")
+        ny = jax.lax.axis_size("y")
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+
+        def ppermute(x, axis, shift):
+            n = jax.lax.axis_size(axis)
+            perm = [(i, (i + shift) % n) for i in range(n)]
+            return jax.lax.ppermute(x, axis, perm)
+
+        # issue the row halos FIRST (phase 1 of the two-hop exchange)
+        top = ppermute(u[-1:, :], "x", 1)
+        bot = ppermute(u[:1, :], "x", -1)
+
+        # interior block (rows/cols 1..h-2): window is u itself — no halo
+        pid_i = None if pid is None else pid[1 : h - 1, 1 : w - 1]
+        out_int = _bitplane_update(
+            u, f[1 : h - 1, 1 : w - 1], pid_i, row0, col0, H, W, a0, da,
+            omega, bimaterial, r_off=1, c_off=1)
+
+        # phase 2: assemble the haloed tile (columns carry the corners)
+        top = jnp.where(ix == 0, 0.0, top)
+        bot = jnp.where(ix == nx - 1, 0.0, bot)
+        body = jnp.concatenate([top, u, bot], axis=0)
+        left = ppermute(body[:, -1:], "y", 1)
+        right = ppermute(body[:, :1], "y", -1)
+        left = jnp.where(iy == 0, 0.0, left)
+        right = jnp.where(iy == ny - 1, 0.0, right)
+        uh = jnp.concatenate([left, body, right], axis=1)  # (h+2, w+2)
+
+        # rim: top/bottom rows (full width), then left/right columns
+        def upd(rs, re, cs, ce):
+            return _bitplane_update(
+                uh[rs : re + 2, cs : ce + 2], f[rs:re, cs:ce],
+                None if pid is None else pid[rs:re, cs:ce],
+                row0, col0, H, W, a0, da, omega, bimaterial,
+                r_off=rs, c_off=cs)
+
+        out = u
+        out = out.at[1 : h - 1, 1 : w - 1].set(out_int)
+        out = out.at[0:1, :].set(upd(0, 1, 0, w))
+        out = out.at[h - 1 : h, :].set(upd(h - 1, h, 0, w))
+        out = out.at[1 : h - 1, 0:1].set(upd(1, h - 1, 0, 1))
+        out = out.at[1 : h - 1, w - 1 : w].set(upd(1, h - 1, w - 1, w))
+        return out
+
+    def wrapped(u, f, pid):
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        row0 = ix * u.shape[0]
+        col0 = iy * u.shape[1]
+        return local_step(u, f, pid, row0, col0)
+
+    spec = P("x", "y")
+    fn = _shard_map(wrapped, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    return jax.jit(fn)
 
 
 def shardmap_jacobi_step(mesh: Mesh, H: int, W: int, a0: float, a1: Optional[float],

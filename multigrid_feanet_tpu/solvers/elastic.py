@@ -77,9 +77,14 @@ def relax(level: ElasticLevel, u, f, num_sweeps: int, bc_value=0.0, omega=2.0 / 
         gm = level.geo[..., None, :, :]
         u = u * gm + bc_value * (1.0 - gm)
         r = f - level.apply(u)
-        rr = jnp.moveaxis(r, -3, -1)
-        upd = jnp.einsum("...hwij,...hwj->...hwi", level.dinv, rr)
-        u = u + omega * jnp.moveaxis(upd, -1, -3)
+        # Dinv @ r per node on component PLANES — einsum over a trailing
+        # (..., H, W, 2) layout costs two lane-dim transposes per sweep
+        rx, ry = r[..., 0, :, :], r[..., 1, :, :]
+        upd = jnp.stack(
+            [level.dinv[..., 0, 0] * rx + level.dinv[..., 0, 1] * ry,
+             level.dinv[..., 1, 0] * rx + level.dinv[..., 1, 1] * ry],
+            axis=-3)
+        u = u + omega * upd
         u = u * gm + bc_value * (1.0 - gm)
     return u
 

@@ -64,3 +64,23 @@ def test_heat_mode_decay_rate():
     decay = float(np.asarray(u)[n // 2, n // 2] / mode[n // 2, n // 2])
     expected = np.exp(-lam * dt * steps)
     assert abs(decay - expected) < 0.01 * expected + 5e-3, (decay, expected)
+
+
+def test_affine_bitplane_matches_gather_table():
+    """The heat system's gather-free affine-bitplane apply (base stencil +
+    phase bitplanes) equals the general (16,3,3)-table gather apply."""
+    import jax
+    from multigrid_feanet_tpu.core.problem import Problem
+    from multigrid_feanet_tpu.ops import heat, stencil
+
+    prob = Problem(n=32, inclusion=("circle", (0.0, 0.0), 0.5),
+                   dtype=jnp.float64)
+    hier = heat.heat_system_hierarchy(prob, dt=0.01, theta=0.5)
+    for lv in hier.levels[:2]:
+        assert lv.base is not None and lv.a0 is None  # affine path active
+        u = jax.random.normal(jax.random.PRNGKey(0),
+                              (lv.n + 1, lv.n + 1), jnp.float64)
+        got = lv.apply(u)
+        want = stencil.apply_stencil(lv.table, lv.pid, u)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-12, atol=1e-12)

@@ -116,3 +116,41 @@ def test_shardmap_explicit_halo_jacobi_matches_gspmd():
     interior[1:n, 1:n] = True
     expected = np.where(interior, u + (2.0 / 3.0) / d * r, u)
     np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_shardmap_overlap_jacobi_bitwise():
+    """The halo/compute-overlapped step (interior + rim split, ppermutes
+    issued before the interior compute) equals the synchronous
+    shardmap_jacobi_step to within a couple of ULPs (identical tap order per node;
+    XLA fuses the sliced regions into different kernels, whose
+    FMA-contraction choices can differ in the last bit), hom and
+    bi-material."""
+    n = 64
+    for bim in (False, True):
+        problem = Problem(
+            n=n, inclusion=("circle", (0.0, 0.0), 0.5) if bim else None,
+            dtype=jnp.float32)
+        hier = GridHierarchy.create(problem)
+        lv = hier.finest
+        mesh2d = jax.sharding.Mesh(
+            np.array(jax.devices()[:8]).reshape(2, 4), ("x", "y"))
+        dh = sharding.DistributedHierarchy(
+            hier, sharding.make_mesh(8), replicate_below=0)
+        Hp, Wp = dh.shapes[0]
+        rng = np.random.default_rng(1)
+        u = np.zeros((Hp, Wp), np.float32)
+        u[: n + 1, : n + 1] = rng.standard_normal((n + 1, n + 1))
+        f = np.zeros((Hp, Wp), np.float32)
+        f[: n + 1, : n + 1] = rng.standard_normal((n + 1, n + 1))
+        pid_pad = np.zeros((Hp, Wp), np.int8)
+        if bim:
+            pid_pad[: n + 1, : n + 1] = np.asarray(lv.pid)
+        a0 = lv.a0 if bim else 1.0
+        a1 = lv.a1 if bim else None
+
+        sync = sharding.shardmap_jacobi_step(mesh2d, n + 1, n + 1, a0, a1)
+        over = sharding.shardmap_jacobi_step_overlap(mesh2d, n + 1, n + 1, a0, a1)
+        args = (jnp.asarray(u), jnp.asarray(f), jnp.asarray(pid_pad))
+        a, b = np.asarray(over(*args)), np.asarray(sync(*args))
+        # a couple of ulps at O(1) magnitudes
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=5e-7)
