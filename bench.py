@@ -120,23 +120,26 @@ def main():
     f0 = jnp.zeros((n + 1, n + 1), jnp.float32)
     key = jax.random.PRNGKey(0)
     u0 = (150000.0 * jax.random.uniform(key, (n + 1, n + 1))).astype(jnp.float32)
-    ph.solve(f0, u0=u0, nu1=1, nu2=1, eps=1e-6, max_cycles=60)  # compile
+    ph.solve(f0, u0=u0, nu1=1, nu2=1, eps=1e-6, max_cycles=60, chunk=2)
     t_solve = np.inf
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
-        un, hist = ph.solve(f0, u0=u0, nu1=1, nu2=1, eps=1e-6, max_cycles=60)
+        un, hist = ph.solve(f0, u0=u0, nu1=1, nu2=1, eps=1e-6, max_cycles=60,
+                            chunk=2)
         t_solve = min(t_solve, time.time() - t0)
     cycles = len(hist)
     q = float(hist[-1] / hist[-2]) if cycles > 1 else float("nan")
-    # dispatch-free per-cycle rate: difference two eps targets
-    u1, hist1 = ph.solve(f0, u0=u0, nu1=1, nu2=1, eps=1e-2, max_cycles=60)
-    t_short = np.inf
-    for _ in range(3):
-        t0 = time.time()
-        u1, hist1 = ph.solve(f0, u0=u0, nu1=1, nu2=1, eps=1e-2, max_cycles=60)
-        t_short = min(t_short, time.time() - t0)
-    d_cycles = cycles - len(hist1)
-    ms_per_cycle = (t_solve - t_short) / max(d_cycles, 1) * 1e3
+    # dispatch-free per-cycle rate: difference two FIXED cycle counts
+    ts_fix = {}
+    for mc in (8, 24):
+        ph.solve(f0, u0=u0, nu1=1, nu2=1, eps=0.0, max_cycles=mc, chunk=2)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            ph.solve(f0, u0=u0, nu1=1, nu2=1, eps=0.0, max_cycles=mc, chunk=2)
+            best = min(best, time.time() - t0)
+        ts_fix[mc] = best
+    ms_per_cycle = (ts_fix[24] - ts_fix[8]) / 16 * 1e3
 
     # --- heat theta-system sweep (gather-free affine bitplane), 4097^2 ---
     heat_hier = heat.heat_system_hierarchy(

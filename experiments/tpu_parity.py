@@ -82,6 +82,17 @@ def main():
         want_p = jac.jacobi_step(lv, u_corr, f, 0.0, 2.0 / 3.0)
         errs[f"psweep_{tag}"] = _rel(p.unpad(got_p), want_p)
 
+        # zero-initial-guess legs (coarse-level fast path)
+        u1z = jac.jacobi_step(lv, jnp.zeros_like(u), f, 0.0, 2.0 / 3.0)
+        rz = (f - lv.apply(u1z)) * lv.geo
+        fc_z = p.zsweep_restrict(f_pad)
+        errs[f"zrr_{tag}"] = _rel(pc.unpad(fc_z),
+                                  4.0 * restrict_full_weighting(rz))
+        u3z = p.zpsweep(f_pad, pc.pad(uc), R_up=64)
+        want_z = jac.jacobi_step(lv, u1z + prolong_bilinear(uc, lv.geo),
+                                 f, 0.0, 2.0 / 3.0)
+        errs[f"zpsweep_{tag}"] = _rel(p.unpad(u3z), want_z)
+
     ok = all(e < TOL for e in errs.values())
     print(json.dumps({"ok": ok, "tol": TOL, "device": dev,
                       **{k: round(v, 9) for k, v in errs.items()}}))

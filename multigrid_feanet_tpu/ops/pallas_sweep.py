@@ -350,6 +350,270 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
 
 
 # ---------------------------------------------------------------------------
+# Kernel 1b2: CROSS-CYCLE fused fine-level leg ("pswrr") — for a V(1,1)
+# solve loop, the prolongation-add + post-smoothing sweep that END cycle k
+# and the pre-smoothing sweep + residual + restriction that START cycle k+1
+# all touch the same fields; fusing them runs the fine level at
+# 17 B/node/cycle instead of 29 (swrr + psweep) with the same 3 stencil
+# applies.  The free residual ||f - A u3||^2 (u3 = the completed cycle-k
+# iterate) is the solve loop's convergence test.
+# ---------------------------------------------------------------------------
+
+
+def _pswrr_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, fh_ref,
+                  phh_ref, uch_ref, bnd_ref, u4_out, fc_out, rsq_ref,
+                  uwin, fwin, phw, ucc, *, R, H, W, Wp, a0, da, omega, s,
+                  nb, own_hi, bim):
+    """Grid step i emits u4 node rows [(i-1)R, iR) and coarse rows
+    [(i-1)R/2, iR/2) of f_c = 4 FW(f - A u4), where
+
+        u2 = u1 + P(uc),   u3 = jacobi(u2),   u4 = jacobi(u3).
+
+    u1/f/ph lag by ONE block; uc as in the psweep path.  Cache invariants
+    at the start of step i:
+      uwin[0 : R+4] = u1 rows [(i-1)R - 4, iR)
+      fwin[0 : R+3] = f  rows [(i-1)R - 3, iR)
+      phw[0 : R+4]  = element rows [(i-1)R - 4, iR)
+      ucc[0 : R/2+2] = coarse rows [(i-1)R/2 - 2, iR/2)
+    ``rsq`` accumulates ||f - A u3||^2 (free from u4's sweep) over the
+    owned rows [-1, own_hi], tiling the grid exactly once across shards.
+    """
+    i = pl.program_id(0)
+    row0 = (i - 1) * R - 4  # u2-window row 0 (node row)
+    lo, hi = bnd_ref[0], bnd_ref[1]
+    clo, chi = bnd_ref[2], bnd_ref[3]
+
+    uwin[R + 4 : R + 6, :] = jnp.where(i == nb, uh_ref[0:2, :], u_ref[0:2, :])
+    fwin[R + 3 : R + 5, :] = jnp.where(i == nb, fh_ref[0:2, :], f_ref[0:2, :])
+    if bim:
+        phw[R + 4 : R + 6, :] = jnp.where(i == nb, phh_ref[0:2, :],
+                                          ph_ref[0:2, :])
+    ucc[R // 2 + 2 : R // 2 + 4, :] = jnp.where(
+        i == nb, uch_ref[0:2, :], uc_ref[0:2, :])
+
+    # ---- u2 = u1 + P(uc) on R+7 rows [row0, row0 + R + 7) ----
+    # row0 is EVEN: window row m even -> coarse injection, odd -> midpoint.
+    cw = ucc[...]  # (R/2+4, Wp): coarse rows [row0/2, row0/2 + R/2 + 4)
+    K = R // 2 + 4
+    mids = 0.5 * (cw[0 : K - 1, :] + cw[1:K, :])
+    mids = jnp.concatenate([mids, jnp.zeros((1, Wp), jnp.float32)], axis=0)
+    corr_r = jnp.stack([cw, mids], axis=1).reshape(2 * K, Wp)[0 : R + 7, :]
+    lane_mid = 0.5 * (_roll_m(corr_r, s) + _roll_p(corr_r, s))
+    gc = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+    corr = jnp.where((gc & (2 * s - 1)) == 0, corr_r, lane_mid)
+    corr = jnp.where(_interior_mask(row0, R + 7, Wp, lo, hi, W, s), corr, 0.0)
+    u1w = jnp.concatenate([uwin[...], u_ref[2:3, :]], axis=0)  # (R+7, Wp)
+    u2 = u1w + corr
+
+    # ---- u3 = jacobi(u2) on R+5 rows [row0+1, row0+R+6) ----
+    f0 = fwin[...]  # (R+5, Wp): f rows [row0 + 1, row0 + R + 6)
+    if bim:
+        phin = phw[...]  # (R+6, Wp): element rows [row0, row0 + R + 6)
+        au2, C42 = _apply_bim(u2, phin, R + 7, a0, da, s)
+        d2 = (2.0 / 3.0) * C42
+    else:
+        au2, _ = _apply_hom(u2, R + 7, a0, s)
+        d2 = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+    r2 = f0 - au2
+    r2 = jnp.where(_interior_mask(row0 + 1, R + 5, Wp, lo, hi, W, s), r2, 0.0)
+    u3 = u2[1 : R + 6, :] + (omega / d2) * r2  # rows [row0+1, row0+R+6)
+
+    # ---- u4 = jacobi(u3) on R+3 rows [row0+2, row0+R+5) ----
+    if bim:
+        au3, C43 = _apply_bim(u3, phin[1 : R + 5, :], R + 5, a0, da, s)
+        d3 = (2.0 / 3.0) * C43
+    else:
+        au3, _ = _apply_hom(u3, R + 5, a0, s)
+        d3 = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+    r3 = f0[1 : R + 4, :] - au3
+    r3 = jnp.where(_interior_mask(row0 + 2, R + 3, Wp, lo, hi, W, s), r3, 0.0)
+    u4 = u3[1 : R + 4, :] + (omega / d3) * r3  # rows [row0+2, row0+R+5)
+    u4_out[...] = u4[2 : R + 2, :]
+
+    @pl.when(i > 0)
+    def _():
+        # disjoint per-step span rows [(i-1)R - 1, iR - 1) of r3 = f - A u3
+        rq = jnp.where(_owned_rows_mask(row0 + 3, R, -1, own_hi),
+                       r3[1 : R + 1, :], 0.0)
+        rsq_ref[i - 1, 0] = jnp.sum(rq * rq)
+
+    # ---- residual of u4 on R+1 rows [(i-1)R - 1, iR - 1] + FW ----
+    if bim:
+        au4, _ = _apply_bim(u4, phin[2 : R + 4, :], R + 3, a0, da, s)
+    else:
+        au4, _ = _apply_hom(u4, R + 3, a0, s)
+    r4 = f0[2 : R + 3, :] - au4
+    r4 = jnp.where(_interior_mask(row0 + 3, R + 1, Wp, lo, hi, W, s), r4, 0.0)
+    A = r4[0:R, :].reshape(R // 2, 2, Wp)
+    B = jnp.concatenate([A[1:, 0, :], r4[R : R + 1, :]], axis=0)
+    rows_fw = A[:, 0, :] + 2.0 * A[:, 1, :] + B
+    lanes_fw = 2.0 * rows_fw + _roll_m(rows_fw, s) + _roll_p(rows_fw, s)
+    fc = lanes_fw * (4.0 / 16.0)
+    Wc = (W - 1) // 2 + 1
+    crow0 = (i - 1) * (R // 2)
+    fc_out[...] = jnp.where(
+        _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc, 0.0)
+
+    # ---- roll caches forward ----
+    uwin[0:4, :] = jnp.where(i == 0, uh_ref[4:8, :], uwin[R : R + 4, :])
+    uwin[4:6, :] = uwin[R + 4 : R + 6, :]
+    uwin[6 : R + 4, :] = u_ref[2:R, :]
+    fwin[0:3, :] = jnp.where(i == 0, fh_ref[5:8, :], fwin[R : R + 3, :])
+    fwin[3:5, :] = fwin[R + 3 : R + 5, :]
+    fwin[5 : R + 3, :] = f_ref[2:R, :]
+    if bim:
+        phw[0:4, :] = jnp.where(i == 0, phh_ref[4:8, :], phw[R : R + 4, :])
+        phw[4:6, :] = phw[R + 4 : R + 6, :]
+        phw[6 : R + 4, :] = ph_ref[2:R, :]
+    ucc[0:2, :] = jnp.where(i == 0, uch_ref[6:8, :],
+                            ucc[R // 2 : R // 2 + 2, :])
+    ucc[2 : R // 2 + 2, :] = uc_ref[...]
+
+
+# ---------------------------------------------------------------------------
+# Kernels 1c/1d: ZERO-INITIAL-GUESS level legs.  Every coarse level of a
+# V-cycle solves an error equation from u = 0, so its first sweep is the
+# POINTWISE update u1 = (omega/d) f (no stencil apply, no u stream):
+#   - _zrr_kernel  ("zsweep_restrict"): emits f_c = 4 FW(f - A u1) directly —
+#     u1 never touches HBM.  Traffic ~7 B/node vs 15 for sweep_restrict;
+#     one apply instead of two.
+#   - _zpsweep_kernel ("zpsweep"): recomputes u1 pointwise, adds the coarse
+#     correction, and runs the post-smoothing sweep — 11 B/node vs 14, and
+#     the level's pre-smoothed iterate is never stored.
+# Together a V(1,1) coarse level costs 2 applies / 18 B per node instead of
+# 3 applies / 29 B.
+# ---------------------------------------------------------------------------
+
+
+def _c4_from_q(Q, K, s):
+    """Per-node sum of the 4 surrounding Q over an element window of K rows:
+    returns (K-1, Wp) C4 for node rows [e0+1, e0+K)."""
+    Qc = Q + _roll_m(Q, s)
+    return Qc[0 : K - 1, :] + Qc[1:K, :]
+
+
+def _zrr_kernel(f_ref, ph_ref, fh_ref, phh_ref, bnd_ref, fc_out,
+                fwin, phw, *, R, H, W, Wp, a0, da, omega, s, nb, bim):
+    """Grid step i emits coarse rows [(i-1)R/2, iR/2) of
+    f_c = 4 FW(f - A u1) with u1 = (omega/d) f at interior nodes, 0 else.
+
+    f/ph lag by ONE block.  Cache invariants at the start of step i:
+      fwin[0 : R+2] = f rows [(i-1)R - 2, iR);  phw[0 : R+3] = element rows
+      [(i-1)R - 3, iR).  Halo strips as in _swrr_kernel."""
+    i = pl.program_id(0)
+    row0 = (i - 1) * R - 2  # f-window row 0 (node row)
+    lo, hi = bnd_ref[0], bnd_ref[1]
+    clo, chi = bnd_ref[2], bnd_ref[3]
+
+    fwin[R + 2 : R + 3, :] = jnp.where(i == nb, fh_ref[0:1, :], f_ref[0:1, :])
+    if bim:
+        phw[R + 3 : R + 4, :] = jnp.where(i == nb, phh_ref[0:1, :],
+                                          ph_ref[0:1, :])
+
+    f0 = fwin[...]  # (R+3, Wp): f rows [row0, row0 + R + 3)
+    if bim:
+        phin = phw[...]  # (R+4, Wp): element rows [row0 - 1, row0 + R + 3)
+        Q = phin.astype(jnp.float32) * da + a0
+        d = (2.0 / 3.0) * _c4_from_q(Q, R + 4, s)  # node rows = f0's rows
+    else:
+        d = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+    u1 = (omega / d) * f0
+    u1 = jnp.where(_interior_mask(row0, R + 3, Wp, lo, hi, W, s), u1, 0.0)
+
+    if bim:
+        au1, _ = _apply_bim(u1, phin[1 : R + 3, :], R + 3, a0, da, s)
+    else:
+        au1, _ = _apply_hom(u1, R + 3, a0, s)
+    # au1 rows [(i-1)R - 1, iR - 1] (R+1 rows)
+    r1 = f0[1 : R + 2, :] - au1
+    r1 = jnp.where(_interior_mask(row0 + 1, R + 1, Wp, lo, hi, W, s), r1, 0.0)
+    A = r1[0:R, :].reshape(R // 2, 2, Wp)
+    B = jnp.concatenate([A[1:, 0, :], r1[R : R + 1, :]], axis=0)
+    rows_fw = A[:, 0, :] + 2.0 * A[:, 1, :] + B
+    lanes_fw = 2.0 * rows_fw + _roll_m(rows_fw, s) + _roll_p(rows_fw, s)
+    fc = lanes_fw * (4.0 / 16.0)
+    Wc = (W - 1) // 2 + 1
+    crow0 = (i - 1) * (R // 2)
+    fc_out[...] = jnp.where(
+        _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc, 0.0)
+
+    # roll caches forward
+    fwin[0:2, :] = jnp.where(i == 0, fh_ref[6:8, :], fwin[R : R + 2, :])
+    fwin[2:3, :] = fwin[R + 2 : R + 3, :]
+    fwin[3 : R + 2, :] = f_ref[1:R, :]
+    if bim:
+        phw[0:3, :] = jnp.where(i == 0, phh_ref[5:8, :], phw[R : R + 3, :])
+        phw[3:4, :] = phw[R + 3 : R + 4, :]
+        phw[4 : R + 3, :] = ph_ref[1:R, :]
+
+
+def _zpsweep_kernel(f_ref, ph_ref, uc_ref, dst_ref, fh_ref, phh_ref, uch_ref,
+                    bnd_ref, u_out, fwin, phw, ucc, *, R, H, W, Wp, a0, da,
+                    omega, s, nb, R_up, bim):
+    """Grid step i emits u3 rows [(i-1)R, iR) where
+    u3 = jacobi_sweep(u2),  u2 = (omega/d) f (interior) + P(uc).
+
+    f/ph lag by ONE block; uc as in the psweep path of _sweep_kernel.
+    Cache invariants at step i:  fwin[0 : R+1] = f rows [(i-1)R - 1, iR);
+    phw[0 : R+2] = element rows [(i-1)R - 2, iR);
+    ucc[0 : R/2+1] = coarse rows [(i-1)R/2 - 1, iR/2)."""
+    i = pl.program_id(0)
+    row0 = (i - 1) * R - 1  # u2-window row 0 (node row)
+    lo, hi = bnd_ref[0], bnd_ref[1]
+
+    fwin[R + 1 : R + 2, :] = jnp.where(i == nb, fh_ref[0:1, :], f_ref[0:1, :])
+    if bim:
+        phw[R + 2 : R + 3, :] = jnp.where(i == nb, phh_ref[0:1, :],
+                                          ph_ref[0:1, :])
+    ucc[R // 2 + 1 : R // 2 + 2, :] = jnp.where(
+        i == nb, uch_ref[0:1, :], uc_ref[0:1, :])
+
+    f0 = fwin[...]  # (R+2, Wp): f rows [row0, row0 + R + 2)
+    if bim:
+        phin = phw[...]  # (R+3, Wp): element rows [row0 - 1, row0 + R + 2)
+        Q = phin.astype(jnp.float32) * da + a0
+        d_all = (2.0 / 3.0) * _c4_from_q(Q, R + 3, s)  # rows = f0's rows
+    else:
+        d_all = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+    u1 = (omega / d_all) * f0
+    u1 = jnp.where(_interior_mask(row0, R + 2, Wp, lo, hi, W, s), u1, 0.0)
+
+    # bilinear prolongation of the coarse correction (identical to the
+    # with_corr path of _sweep_kernel: window row0 is odd)
+    cw = ucc[...]
+    mids = 0.5 * (cw[0 : R // 2 + 1, :] + cw[1 : R // 2 + 2, :])
+    inj = cw[1 : R // 2 + 2, :]
+    corr_r = jnp.stack([mids, inj], axis=1).reshape(R + 2, Wp)
+    lane_mid = 0.5 * (_roll_m(corr_r, s) + _roll_p(corr_r, s))
+    gc = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+    corr = jnp.where((gc & (2 * s - 1)) == 0, corr_r, lane_mid)
+    corr = jnp.where(_interior_mask(row0, R + 2, Wp, lo, hi, W, s), corr, 0.0)
+    u2 = u1 + corr
+
+    if bim:
+        au, C4 = _apply_bim(u2, phin[1 : R + 2, :], R + 2, a0, da, s)
+        d = (2.0 / 3.0) * C4
+    else:
+        au, _ = _apply_hom(u2, R + 2, a0, s)
+        d = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+    r = f0[1 : R + 1, :] - au
+    r = jnp.where(_interior_mask(row0 + 1, R, Wp, lo, hi, W, s), r, 0.0)
+    u_out[...] = u2[1 : R + 1, :] + (omega / d) * r
+
+    # roll caches forward
+    fwin[0:1, :] = jnp.where(i == 0, fh_ref[7:8, :], fwin[R : R + 1, :])
+    fwin[1:2, :] = fwin[R + 1 : R + 2, :]
+    fwin[2 : R + 1, :] = f_ref[1:R, :]
+    if bim:
+        phw[0:2, :] = jnp.where(i == 0, phh_ref[6:8, :], phw[R : R + 2, :])
+        phw[2:3, :] = phw[R + 2 : R + 3, :]
+        phw[3 : R + 2, :] = ph_ref[1:R, :]
+    ucc[0:1, :] = jnp.where(i == 0, uch_ref[7:8, :],
+                            ucc[R // 2 : R // 2 + 1, :])
+    ucc[1 : R // 2 + 1, :] = uc_ref[...]
+
+
+# ---------------------------------------------------------------------------
 # Kernel 2: fused residual + x4-scaled full-weighting restriction.
 # ---------------------------------------------------------------------------
 
@@ -594,6 +858,193 @@ def _run_swrr(u_pad, f_pad, ph_pad, dst, uh, fh, phh, bnd, *, R, H, W, Wp,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "Rc", "R_up", "out_rows",
+    "own_rows", "interpret", "vmem_mb"))
+def _run_pswrr(u_pad, f_pad, ph_pad, uc_pad, dst, uh, fh, phh, uch, bnd, *,
+               R, H, W, Wp, a0, da, omega, s, Rc, R_up, interpret,
+               vmem_mb=None, out_rows=None, own_rows=None):
+    nb = (u_pad.shape[0] - 2 * R) // R
+    bim = ph_pad is not None
+    if out_rows is None:
+        Hc = (H - 1) // 2 + 1
+        out_rows = _round_up(Hc, Rc) + 2 * Rc
+    if uh is None:
+        uh = jnp.zeros((8, Wp), u_pad.dtype)
+    if fh is None:
+        fh = jnp.zeros((8, Wp), u_pad.dtype)
+    if phh is None:
+        phh = jnp.zeros((8, Wp), jnp.int8)
+    if uch is None:
+        uch = jnp.zeros((8, Wp), u_pad.dtype)
+    if bnd is None:
+        bnd = _default_bounds(H, W)
+    assert (2 * Rc) % R == 0 and (2 * R_up) % R == 0
+    idx_off = 2 * Rc // R - 1
+    assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
+    kern = functools.partial(
+        _pswrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega, s=s,
+        nb=nb, own_hi=(own_rows if own_rows is not None else nb * R) - 2,
+        bim=bim)
+    in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 1)]
+    args = [u_pad, f_pad]
+    if bim:
+        in_specs.append(_lagged_spec(R, Wp, 1))
+        args.append(ph_pad)
+    else:
+        in_specs.append(_DUMMY_SPEC)
+        args.append(jnp.zeros((32, 128), jnp.int8))
+    in_specs += [_lagged_spec(R // 2, Wp, 2 * R_up // R),
+                 pl.BlockSpec(memory_space=pl.ANY), _halo_spec(Wp),
+                 _halo_spec(Wp), _halo_spec(Wp), _halo_spec(Wp), _SMEM_SPEC]
+    args += [uc_pad, dst, uh, fh, phh, uch, bnd]
+    u4, fc, rsq = pl.pallas_call(
+        kern,
+        grid=(nb + 1,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((R, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _lagged_spec(R // 2, Wp, idx_off),
+            pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(u_pad.shape, u_pad.dtype),
+            jax.ShapeDtypeStruct((out_rows, Wp), u_pad.dtype),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R + 6, Wp), jnp.float32),
+            pltpu.VMEM((R + 5, Wp), jnp.float32),
+            pltpu.VMEM((R + 6, Wp), jnp.int8),
+            pltpu.VMEM((R // 2 + 4, Wp), jnp.float32),
+        ],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+        compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb) << 20)),
+        # bytes: u1 + f (8) + phase (1) + uc at 1/2 rows (2) + u4 out (4) +
+        # coarse out at 1/2 rows (2)
+        cost_estimate=pl.CostEstimate(
+            flops=(120 if bim else 48) * (u_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=(17 if bim else 16) * (u_pad.shape[0] - 2 * R) * Wp,
+            transcendentals=0,
+        ),
+    )(*args)
+    return u4, fc, jnp.sum(rsq)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "Rc", "out_rows",
+    "interpret", "vmem_mb"))
+def _run_zrr(f_pad, ph_pad, fh, phh, bnd, *, R, H, W, Wp, a0, da, omega, s,
+             Rc, interpret, vmem_mb=None, out_rows=None):
+    nb = (f_pad.shape[0] - 2 * R) // R
+    bim = ph_pad is not None
+    if out_rows is None:
+        Hc = (H - 1) // 2 + 1
+        out_rows = _round_up(Hc, Rc) + 2 * Rc
+    if fh is None:
+        fh = jnp.zeros((8, Wp), f_pad.dtype)
+    if phh is None:
+        phh = jnp.zeros((8, Wp), jnp.int8)
+    if bnd is None:
+        bnd = _default_bounds(H, W)
+    assert (2 * Rc) % R == 0
+    idx_off = 2 * Rc // R - 1
+    assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
+    kern = functools.partial(_zrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da,
+                             omega=omega, s=s, nb=nb, bim=bim)
+    in_specs = [_lagged_spec(R, Wp, 1)]
+    args = [f_pad]
+    if bim:
+        in_specs.append(_lagged_spec(R, Wp, 1))
+        args.append(ph_pad)
+    else:
+        in_specs.append(_DUMMY_SPEC)
+        args.append(jnp.zeros((32, 128), jnp.int8))
+    in_specs += [_halo_spec(Wp), _halo_spec(Wp), _SMEM_SPEC]
+    args += [fh, phh, bnd]
+    fc = pl.pallas_call(
+        kern,
+        grid=(nb + 1,),
+        in_specs=in_specs,
+        out_specs=_lagged_spec(R // 2, Wp, idx_off),
+        out_shape=jax.ShapeDtypeStruct((out_rows, Wp), f_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + 3, Wp), jnp.float32),
+            pltpu.VMEM((R + 4, Wp), jnp.int8),
+        ],
+        interpret=interpret,
+        compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb) << 20)),
+        # bytes: f in (4) + int8 phase (1) + coarse out at 1/2 rows (2)
+        cost_estimate=pl.CostEstimate(
+            flops=(45 if bim else 20) * (f_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=(7 if bim else 6) * (f_pad.shape[0] - 2 * R) * Wp,
+            transcendentals=0,
+        ),
+    )(*args)
+    # Same ghost-block invariant as _run_rr.
+    return fc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "R_up", "interpret",
+    "vmem_mb"))
+def _run_zpsweep(f_pad, ph_pad, uc_pad, dst, fh, phh, uch, bnd, *, R, H, W,
+                 Wp, a0, da, omega, s, R_up, interpret, vmem_mb=None):
+    nb = (f_pad.shape[0] - 2 * R) // R
+    bim = ph_pad is not None
+    if fh is None:
+        fh = jnp.zeros((8, Wp), f_pad.dtype)
+    if phh is None:
+        phh = jnp.zeros((8, Wp), jnp.int8)
+    if uch is None:
+        uch = jnp.zeros((8, Wp), f_pad.dtype)
+    if bnd is None:
+        bnd = _default_bounds(H, W)
+    assert (2 * R_up) % R == 0
+    kern = functools.partial(_zpsweep_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0,
+                             da=da, omega=omega, s=s, nb=nb, R_up=R_up,
+                             bim=bim)
+    in_specs = [_lagged_spec(R, Wp, 1)]
+    args = [f_pad]
+    if bim:
+        in_specs.append(_lagged_spec(R, Wp, 1))
+        args.append(ph_pad)
+    else:
+        in_specs.append(_DUMMY_SPEC)
+        args.append(jnp.zeros((32, 128), jnp.int8))
+    in_specs += [_lagged_spec(R // 2, Wp, 2 * R_up // R),
+                 pl.BlockSpec(memory_space=pl.ANY),
+                 _halo_spec(Wp), _halo_spec(Wp), _halo_spec(Wp), _SMEM_SPEC]
+    args += [uc_pad, dst, fh, phh, uch, bnd]
+    out = pl.pallas_call(
+        kern,
+        grid=(nb + 1,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, Wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(dst.shape, f_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + 2, Wp), jnp.float32),
+            pltpu.VMEM((R + 3, Wp), jnp.int8),
+            pltpu.VMEM((R // 2 + 2, Wp), jnp.float32),
+        ],
+        input_output_aliases={3: 0},
+        interpret=interpret,
+        compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb) << 20)),
+        # bytes: f in (4) + phase (1) + coarse uc at 1/2 rows (2) + out (4)
+        cost_estimate=pl.CostEstimate(
+            flops=(50 if bim else 25) * (f_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=(11 if bim else 10) * (f_pad.shape[0] - 2 * R) * Wp,
+            transcendentals=0,
+        ),
+    )(*args)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "s", "Rc", "out_rows", "own_rows",
     "interpret", "vmem_mb"))
 def _run_rr(u_pad, f_pad, ph_pad, uh, bnd, *, R, H, W, Wp, a0, da, s, Rc,
@@ -801,6 +1252,60 @@ class PallasLevel:
                          dst, uh, fh, phh,
                          bnd, Rc=self.Rc, vmem_mb=self.vmem_mb,
                          out_rows=out_rows, own_rows=own_rows, **self._cfg())
+
+    def pswrr(self, u1_pad, f_pad, uc_pad, R_up: Optional[int] = None,
+              dst=None, bnd=None, own_rows: Optional[int] = None,
+              out_rows: Optional[int] = None):
+        """Cross-cycle fused fine-level leg -> (u4, f_c, rsq):
+
+            u2 = u1 + P(uc);  u3 = jacobi(u2);  u4 = jacobi(u3);
+            f_c = 4 FW(f - A u4);  rsq = ||f - A u3||^2  (interior)
+
+        i.e. the prolongation-add + post-smooth that COMPLETE a V(1,1)
+        cycle fused with the pre-smooth + restriction that START the next
+        one; ``rsq`` is the completed cycle's residual (the solve loop's
+        free convergence test).  Equivalent to
+        ``u3, _ = psweep(u1, f, uc); u4, f_c, rsq = sweep_restrict(u3, f)``.
+        SINGLE-DEVICE only (its 4-deep halos exceed the shard strips —
+        the sharded path keeps psweep + sweep_restrict)."""
+        if dst is None:
+            dst = self.zeros()
+        return _run_pswrr(u1_pad, f_pad, self.ph_pad, uc_pad, dst,
+                          None, None, None, None, bnd, Rc=self.Rc,
+                          R_up=int(R_up if R_up is not None else self.Rc),
+                          vmem_mb=self.vmem_mb, out_rows=out_rows,
+                          own_rows=own_rows, **self._cfg())
+
+    def zsweep_restrict(self, f_pad, fh=None, phh=None, bnd=None,
+                        out_rows: Optional[int] = None, ph_pad=None):
+        """ZERO-initial-guess descent leg: with u1 = (omega/d) f (the first
+        sweep from u = 0, computed pointwise in-register), emit
+        f_c = 4 FW(f - A u1) -> coarse RHS buffer.  u1 never touches HBM.
+        Equivalent to ``u1, _ = sweep(zeros(), f); f_c, _ =
+        restrict_residual(u1, f)``.  Same ghost-block caveat on ``f_c``."""
+        if phh is None and self.bim:
+            phh = jnp.zeros((8, self.Wp), jnp.int8)
+        cfg = self._cfg()
+        return _run_zrr(f_pad, self.ph_pad if ph_pad is None else ph_pad,
+                        fh, phh, bnd, Rc=self.Rc, vmem_mb=self.vmem_mb,
+                        out_rows=out_rows, **cfg)
+
+    def zpsweep(self, f_pad, uc_pad, R_up: Optional[int] = None, dst=None,
+                fh=None, phh=None, uch=None, bnd=None, ph_pad=None):
+        """ZERO-initial-guess ascent leg: recompute u1 = (omega/d) f
+        pointwise, add the bilinear coarse correction, and run the
+        post-smoothing sweep -> u3.  Equivalent to
+        ``u1, _ = sweep(zeros(), f); u3, _ = psweep(u1, f, uc)`` without
+        ever storing u1."""
+        if dst is None:
+            dst = self.zeros()
+        if phh is None and self.bim:
+            phh = jnp.zeros((8, self.Wp), jnp.int8)
+        return _run_zpsweep(f_pad,
+                            self.ph_pad if ph_pad is None else ph_pad,
+                            uc_pad, dst, fh, phh, uch, bnd,
+                            R_up=int(R_up if R_up is not None else self.Rc),
+                            vmem_mb=self.vmem_mb, **self._cfg())
 
     def restrict_residual(self, u_pad, f_pad, uh=None, bnd=None,
                           out_rows: Optional[int] = None):

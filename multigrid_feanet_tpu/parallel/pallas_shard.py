@@ -226,6 +226,22 @@ class ShardedPallasHierarchyV2:
             ph = self.ph_stack[l]
             phh = self.phh_stack[l]
             fcb, fstrip = self._exchange(fcb, l)
+            if nu1 == 1:
+                # zero-initial-guess fast path (same kernels as the
+                # single-device V2 — u1 recomputed pointwise, never stored,
+                # and NO u halo exchanges at all on this level)
+                fcc = p.zsweep_restrict(fcb, fh=fstrip, phh=phh, bnd=bnd,
+                                        out_rows=self.B[l + 1], ph_pad=ph)
+                uc, ucstrip = self._coarse_correction(l + 1, fcc, nu1, nu2, ix)
+                cur = p.zpsweep(fcb, uc, dst=self._zeros_loc(l), fh=fstrip,
+                                phh=phh, uch=ucstrip, bnd=bnd, ph_pad=ph)
+                spare = None
+                for _ in range(nu2 - 1):
+                    cb, uh = self._exchange(cur, l)
+                    spare = self._zeros_loc(l) if spare is None else spare
+                    cur, spare = p.sweep(cb, fcb, dst=spare, uh=uh, bnd=bnd,
+                                         ph_pad=ph, own_rows=self.Hloc[l])[0], cb
+                return self._exchange_uc(cur, l)
             cur, spare = self._zeros_loc(l), self._zeros_loc(l)
             fresh = True  # zero iterate: halos are zeros, skip the exchange
             for _ in range(nu1 - 1):

@@ -140,6 +140,19 @@ class PallasHierarchyV2:
         buffer (for the parent's psweep)."""
         if l < self.K:
             p = self.pl[l]
+            if nu1 == 1:
+                # zero-initial-guess fast path: the pre-smoothed iterate
+                # u1 = (omega/d) f_c is recomputed pointwise inside both
+                # kernels and NEVER stored — 2 applies / 18 B per node for
+                # the whole V(1,1) level instead of 3 / 29.
+                fcc = p.zsweep_restrict(fcb)
+                uc = self._coarse_correction(l + 1, fcc, nu1, nu2)
+                cur = p.zpsweep(fcb, uc)
+                spare = None
+                for _ in range(nu2 - 1):
+                    spare = p.zeros() if spare is None else spare
+                    cur, spare = p.sweep(cur, fcb, dst=spare)[0], cur
+                return cur
             cur, spare = p.zeros(), p.zeros()
             for _ in range(nu1 - 1):
                 cur, spare = p.sweep(cur, fcb, dst=spare)[0], cur
@@ -185,7 +198,8 @@ class PallasHierarchyV2:
     # ---- solve entry point (one device dispatch, one host sync) ----
 
     def solve(self, f, u0=None, bc_value=None, nu1: int = 1, nu2: int = 1,
-              eps: float = 1e-6, max_cycles: int = 100, chunk: int = 1):
+              eps: float = 1e-6, max_cycles: int = 100, chunk: int = 1,
+              use_pswrr: bool = True):
         """V-cycle solve to interior residual ``eps``.
 
         ``f`` is the mass-convolved RHS as a plain (n+1, n+1) field.
@@ -218,6 +232,59 @@ class PallasHierarchyV2:
         if u0 is None:
             u0 = jnp.zeros((H, H), p0.dtype)
         u0 = reset_boundary(u0, lv0.geo, 0.0 if bc_value is None else bc_value)
+
+        # V(1,1) fast path: cross-cycle fused fine level (pswrr) — the
+        # prolongation-add + post-smooth of cycle k and the pre-smooth +
+        # restriction of cycle k+1 run as ONE kernel (17 B/node/cycle at
+        # the fine level instead of 29).  chunk is forced even so the
+        # donation ping-pong returns buffers to their carry slots.
+        if nu1 == 1 and nu2 == 1 and use_pswrr:
+            chunk = chunk + (chunk & 1)
+            key = ("solve_pswrr", float(eps), max_cycles, chunk)
+            if key not in self._compiled:
+                p0_ = self.pl[0]
+
+                @jax.jit
+                def run_ps(u0_plain, f_plain):
+                    u = p0_.pad(u0_plain)
+                    sp = p0_.zeros()
+                    fb = p0_.pad(f_plain)
+                    hist0 = jnp.full((max_cycles + chunk,), -1.0, jnp.float32)
+                    # peeled first descent (exact V(1,1) sequence)
+                    u1, fc, rsq0 = p0_.sweep_restrict(u, fb, dst=sp)
+                    free = u
+                    uc = self._coarse_correction(1, fc, 1, 1)
+                    hist0 = hist0.at[0].set(jnp.sqrt(rsq0).astype(jnp.float32))
+
+                    def cond(c):
+                        u1, free, uc, k, res, hist = c
+                        return (res > eps) & (k < max_cycles - 1)
+
+                    def body(c):
+                        u1, free, uc, k, res, hist = c
+                        for _ in range(chunk):
+                            u4, fc, rsq = p0_.pswrr(u1, fb, uc, dst=free)
+                            u1, free = u4, u1
+                            uc = self._coarse_correction(1, fc, 1, 1)
+                            res = jnp.sqrt(rsq).astype(jnp.float32)
+                            hist = hist.at[k].set(res)
+                            k = k + 1
+                        return (u1, free, uc, k, res, hist)
+
+                    u1, free, uc, k, res, hist = jax.lax.while_loop(
+                        cond, body,
+                        (u1, free, uc, jnp.int32(1), jnp.float32(jnp.inf),
+                         hist0))
+                    u_fin, _ = p0_.psweep(u1, fb, uc, dst=free)
+                    return p0_.unpad(u_fin), hist
+
+                self._compiled[key] = run_ps
+            u, hist = self._compiled[key](u0, f)
+            vals = np.asarray(hist)
+            k = int(np.sum(vals >= 0.0))
+            below = np.nonzero(vals[:k] <= eps)[0]
+            c = int(below[0]) if below.size else k - 1
+            return u, vals[1 : c + 1]
 
         key = ("solve", nu1, nu2, float(eps), max_cycles, chunk)
         if key not in self._compiled:

@@ -105,13 +105,22 @@ def test_sharded_solve_matches_single_device(bim):
     u0 = jax.random.normal(key, (n + 1, n + 1), jnp.float32)
     f0 = jnp.zeros((n + 1, n + 1), jnp.float32)
     # fixed cycle count (eps=0 never triggers) -> iterates must be bitwise
-    u_s, h_s = single.solve(f0, u0=u0, eps=0.0, max_cycles=5)
+    # (oracle runs the same swrr/psweep kernel sequence as the sharded
+    # path; the single-device pswrr fast path reassociates by ~1 ulp)
+    u_s, h_s = single.solve(f0, u0=u0, eps=0.0, max_cycles=5, use_pswrr=False)
     u_d, h_d = sharded.solve(f0, u0=u0, eps=0.0, max_cycles=5)
     np.testing.assert_array_equal(np.asarray(u_d), np.asarray(u_s))
     np.testing.assert_allclose(h_d, h_s, rtol=1e-6)
 
+    # the pswrr fast path agrees to roundoff
+    u_p, h_p = single.solve(f0, u0=u0, eps=0.0, max_cycles=5)
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_s),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(h_p, h_s, rtol=1e-5)
+
     # eps-terminated solve: same cycle count and history to roundoff
-    u_s, h_s = single.solve(f0, u0=u0, eps=1e-4, max_cycles=40)
+    u_s, h_s = single.solve(f0, u0=u0, eps=1e-4, max_cycles=40,
+                            use_pswrr=False)
     u_d, h_d = sharded.solve(f0, u0=u0, eps=1e-4, max_cycles=40)
     assert len(h_s) == len(h_d)
     np.testing.assert_allclose(h_d, h_s, rtol=1e-6)

@@ -80,3 +80,22 @@ def test_v2_kernels_parity(bim, s, R):
                                   np.asarray(pl_lv.unpad(u1_sep)))
     assert _rel_err(pl_c.unpad(fc_fus), pl_c.unpad(fc_sep)) < 1e-6
     assert float(rsq_fus) == pytest.approx(float(rsq_sep), rel=1e-6)
+
+    # cross-cycle fused leg: pswrr == psweep then sweep_restrict
+    u3_ref, _ = pl_lv.psweep(u_pad, f_pad, uc_pad, R_up=R)
+    u4_ref, fc_ref, rsq_ref2 = pl_lv.sweep_restrict(u3_ref, f_pad)
+    u4_fus, fc_fus2, rsq_fus2 = pl_lv.pswrr(u_pad, f_pad, uc_pad, R_up=R)
+    assert _rel_err(pl_lv.unpad(u4_fus), pl_lv.unpad(u4_ref)) < 1e-6
+    assert _rel_err(pl_c.unpad(fc_fus2), pl_c.unpad(fc_ref)) < 1e-6
+    assert float(rsq_fus2) == pytest.approx(float(rsq_ref2), rel=1e-5)
+
+    # zero-initial-guess legs: zsweep_restrict == sweep(0) + rr;
+    # zpsweep == sweep(0) + psweep — u1 recomputed in-register
+    z = pl_lv.zeros()
+    u1z, _ = pl_lv.sweep(z, f_pad)
+    fc_z_sep, _ = pl_lv.restrict_residual(u1z, f_pad)
+    fc_z = pl_lv.zsweep_restrict(f_pad)
+    assert _rel_err(pl_c.unpad(fc_z), pl_c.unpad(fc_z_sep)) < 1e-6
+    u3_sep, _ = pl_lv.psweep(u1z, f_pad, uc_pad, R_up=R)
+    u3_z = pl_lv.zpsweep(f_pad, uc_pad, R_up=R)
+    assert _rel_err(pl_lv.unpad(u3_z), pl_lv.unpad(u3_sep)) < 1e-6
