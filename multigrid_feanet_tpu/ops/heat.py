@@ -69,6 +69,31 @@ def heat_system_hierarchy(problem: Problem, dt: float, theta: float = 1.0,
     return GridHierarchy(levels=tuple(levels))
 
 
+def pallas_heat_hierarchy(problem: Problem, dt: float, theta: float = 1.0,
+                          num_levels: Optional[int] = None, **kw):
+    """PallasHierarchyV2 for the theta-system  B = M + theta dt K.
+
+    The fused element-factored kernels run B directly: the stiffness part is
+    the standard element factorization with coefficients scaled by theta*dt,
+    and the consistent mass matrix is the pattern-independent per-element
+    triple  (mp, ms, mo) = h^2/36 * (2, 2, -1)  (see ops/pallas_sweep.py
+    ``_apply_bim``).  The XLA subtree below the Pallas threshold and the
+    dense coarse inverse run the same system via ``heat_system_hierarchy``'s
+    per-level tables, so a solve is cycle-math-identical to
+    ``multigrid.solve`` on that hierarchy."""
+    from multigrid_feanet_tpu.solvers.pallas_mg2 import PallasHierarchyV2
+
+    sys = heat_system_hierarchy(problem, dt, theta, num_levels)
+    td = float(theta) * float(dt)
+    a0, a1 = problem.coefficients
+    return PallasHierarchyV2(
+        problem, num_levels=num_levels, hier=sys,
+        coefficients=(td * a0, td * a1),
+        mass_fn=lambda lv: (lv.h * lv.h / 18.0, lv.h * lv.h / 18.0,
+                            -lv.h * lv.h / 36.0),
+        **kw)
+
+
 @dataclasses.dataclass
 class HeatSolver:
     """Implicit (theta-scheme) heat stepper with V-cycle inner solves."""
@@ -76,11 +101,16 @@ class HeatSolver:
     problem: Problem
     dt: float
     theta: float = 1.0  # 1 = backward Euler, 0.5 = Crank-Nicolson
+    backend: str = "xla"  # "pallas": fused-kernel inner solves (large grids)
+    pallas_kw: Optional[dict] = None  # extra PallasHierarchyV2 kwargs
 
     def __post_init__(self):
         self.sys = heat_system_hierarchy(self.problem, self.dt, self.theta)
         self.stiff = GridHierarchy.create(self.problem)
         self.h = self.problem.size / self.problem.n
+        self.ph = (pallas_heat_hierarchy(self.problem, self.dt, self.theta,
+                                         **(self.pallas_kw or {}))
+                   if self.backend == "pallas" else None)
 
     def rhs(self, u_n: jax.Array, f_n: jax.Array, f_np1: jax.Array) -> jax.Array:
         """(M - (1-theta) dt K) u^n + dt M (theta f^{n+1} + (1-theta) f^n)."""
@@ -93,6 +123,9 @@ class HeatSolver:
     def step(self, u_n: jax.Array, f_n: jax.Array, f_np1: jax.Array, bc_value=0.0,
              eps: float = 1e-10, max_cycles: int = 100):
         b = self.rhs(u_n, f_n, f_np1)
+        if self.ph is not None:
+            return self.ph.solve(b, u0=u_n, bc_value=bc_value, nu1=1, nu2=1,
+                                 eps=eps, max_cycles=max_cycles)
         u, hist = multigrid.solve(
             self.sys, b, u0=u_n, nu1=1, nu2=1, bc_value=bc_value, eps=eps,
             max_cycles=max_cycles,
@@ -108,3 +141,65 @@ class HeatSolver:
             u, _ = self.step(u, f_fn(t), f_fn(t + self.dt), bc_value, eps)
             t += self.dt
         return u
+
+    def march(self, u0: jax.Array, f: jax.Array, num_steps: int,
+              cycles_per_step: int = 2, bc_value=0.0):
+        """``num_steps`` implicit steps with a FIXED number of V(1,1) cycles
+        per step, compiled as ONE ``lax.scan`` — zero per-step dispatch (the
+        per-step ``step()`` path costs ~2 host round-trips each through the
+        TPU tunnel).  ``f``: time-independent (H, W) source, or per-time-knot
+        sources of shape (num_steps + 1, H, W) (knot j = t0 + j dt).
+
+        The fixed cycle count replaces ``step()``'s eps test; the theta
+        system is mass-regularized so 1-2 cycles/step reach the f32 residual
+        floor for production dt (probe: results/heat_march_tpu.json).
+        Returns the final u."""
+        from multigrid_feanet_tpu.core.geometry import reset_boundary
+
+        lv0 = self.sys.finest
+        timedep = f.ndim == 3
+        key = ("march", int(num_steps), int(cycles_per_step), timedep)
+        cache = getattr(self, "_march_cache", None)
+        if cache is None:
+            cache = self._march_cache = {}
+        if key not in cache:
+            ph = self.ph
+
+            if ph is not None:
+                p0 = ph.pl[0]
+
+                @jax.jit
+                def run_march(u0_, f_, bc):
+                    def step_fn(carry, fs):
+                        u_pad, sp = carry
+                        f_n, f_np1 = fs if timedep else (f_, f_)
+                        b = self.rhs(p0.unpad(u_pad), f_n, f_np1)
+                        fb = p0.pad(b)
+                        for _ in range(cycles_per_step):
+                            u_pad, sp, _ = ph._cycle0(u_pad, sp, fb, 1, 1)
+                        return (u_pad, sp), None
+
+                    u_pad = p0.pad(reset_boundary(u0_, lv0.geo, bc))
+                    xs = (f_[:-1], f_[1:]) if timedep else None
+                    carry, _ = jax.lax.scan(step_fn, (u_pad, p0.zeros()), xs,
+                                            length=num_steps)
+                    return p0.unpad(carry[0])
+
+            else:
+
+                @jax.jit
+                def run_march(u0_, f_, bc):
+                    def step_fn(u, fs):
+                        f_n, f_np1 = fs if timedep else (f_, f_)
+                        b = self.rhs(u, f_n, f_np1)
+                        for _ in range(cycles_per_step):
+                            u = multigrid.v_cycle(self.sys, u, b, 1, 1, bc)
+                        return u, None
+
+                    u = reset_boundary(u0_, lv0.geo, bc)
+                    xs = (f_[:-1], f_[1:]) if timedep else None
+                    u, _ = jax.lax.scan(step_fn, u, xs, length=num_steps)
+                    return u
+
+            cache[key] = run_march
+        return cache[key](u0, f, jnp.asarray(bc_value, u0.dtype))

@@ -90,21 +90,41 @@ def _roll_m(x, s):
     return pltpu.roll(x, s, 1)
 
 
-def _apply_hom(u_win, L, a0, s):
+def _apply_hom(u_win, L, a0, s, mass=None):
     """Homogeneous A u on node rows [1, L-1) of an (L, Wp) u window:
-    A u = a0 * (3 u - (1/3) * 3x3-window sum)."""
+    A u = a0 * (3 u - (1/3) * 3x3-window sum), plus an optional
+    pattern-independent per-element operator ``mass`` = (mp, ms, mo)
+    contributing  sum_e [mp u_p + ms s_e + mo u_opp]  (the consistent-mass
+    form: heat theta-systems pass mass = h^2/36 * (2, 2, -1))."""
     t3 = u_win + _roll_p(u_win, s) + _roll_m(u_win, s)
     s9 = t3[0 : L - 2, :] + t3[1 : L - 1, :] + t3[2:L, :]
     uc = u_win[1 : L - 1, :]
-    return (3.0 * a0) * uc - (a0 / 3.0) * s9, None
+    au = (3.0 * a0) * uc - (a0 / 3.0) * s9
+    if mass is not None:
+        # per-node: alpha u + beta adj + gamma cor, with adj/cor expressed
+        # through the already-computed row sums t3 (adj = t3_mid - u + up +
+        # dn;  cor = (t3_up - up) + (t3_dn - dn)).
+        mp, ms, mo = mass
+        alpha, beta, gamma = 4.0 * (mp + ms), 2.0 * ms, ms + mo
+        updn = u_win[0 : L - 2, :] + u_win[2:L, :]
+        au = (au + (alpha - beta) * uc + beta * t3[1 : L - 1, :]
+              + gamma * (t3[0 : L - 2, :] + t3[2:L, :])
+              + (beta - gamma) * updn)
+    return au, None
 
 
-def _apply_bim(u_win, ph_win, L, a0, da, s):
+def _apply_bim(u_win, ph_win, L, a0, da, s, mass=None):
     """Bi-material element-factored A u on node rows [1, L-1) of an (L, Wp)
     u window.  ``ph_win``: (L-1, Wp) element phases; row k holds the element
     row between u rows k and k+1, each element stored at the lane of its
     *west-south* corner node.  Returns (A u, C4) with C4 the per-node sum of
-    the 4 surrounding Q (the Jacobi diagonal is (2/3) C4)."""
+    the 4 surrounding Q (the stiffness Jacobi diagonal is (2/3) C4; with
+    ``mass`` the diagonal gains 4 (mp + ms) — see ``_diag_bim``).
+
+    ``mass`` = (mp, ms, mo) adds the pattern-INDEPENDENT per-element
+    operator  sum_e [mp u_p + ms s_e + mo u_opp]  — with the stiffness part
+    scaled by theta*dt (fold into a0/da) this is exactly the heat
+    theta-system  M + theta dt K  (ops/heat.py)."""
     Q = ph_win.astype(jnp.float32) * da + a0  # (L-1, Wp)
     ul = _roll_p(u_win, s)  # u[.., q+s]
     t = u_win + ul
@@ -125,7 +145,28 @@ def _apply_bim(u_win, ph_win, L, a0, da, s):
     sigD = (Dr[0 : L - 2, :] + E2[0 : L - 2, :]) + (E3r[1 : L - 1, :] + E4[1 : L - 1, :])
     uc = u_win[1 : L - 1, :]
     au = (5.0 / 6.0) * (uc * C4) - (1.0 / 6.0) * (sigD + sigP)
+    if mass is not None:
+        mp, ms, mo = mass
+        Sc = s_e + _roll_m(s_e, s)
+        Ssum = Sc[0 : L - 2, :] + Sc[1 : L - 1, :]  # sum_e s_e at nodes
+        c2 = _roll_m(u_win, s) + ul  # u(., q-s) + u(., q+s)
+        cor = c2[0 : L - 2, :] + c2[2:L, :]  # the 4 diagonal corners
+        au = au + (4.0 * mp) * uc + ms * Ssum + mo * cor
     return au, C4
+
+
+def _diag_bim(C4, mass):
+    """Jacobi diagonal for the bi-material (+ optional mass) operator."""
+    d = (2.0 / 3.0) * C4
+    return d if mass is None else d + 4.0 * (mass[0] + mass[1])
+
+
+def _diag_hom(a0, mass):
+    """Jacobi diagonal for the homogeneous (+ optional mass) operator."""
+    d = (8.0 / 3.0) * a0
+    if mass is not None:
+        d += 4.0 * (mass[0] + mass[1])
+    return jnp.asarray(d, jnp.float32)
 
 
 def _interior_mask(row0, L, Wp, lo, hi, W, s):
@@ -164,7 +205,7 @@ def _owned_rows_mask(row0, L, own_lo, own_hi):
 
 def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
                   bnd_ref, u_out, rsq_ref, cache, phc, ucc, *, R, H, W, Wp,
-                  a0, da, omega, s, nb, own_hi, bim, mode, with_corr):
+                  a0, da, mass, omega, s, nb, own_hi, bim, mode, with_corr):
     """Grid step i emits node rows [(i-1)R, iR).
 
     Pipeline blocks (ghost-block layouts, data row g at buffer row g + R_lv):
@@ -210,11 +251,11 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
 
     if bim:
         ph_win = jnp.concatenate([phc[...], ph_ref[...]], axis=0)  # (R+1, Wp)
-        au, C4 = _apply_bim(u_win, ph_win, R + 2, a0, da, s)
-        d = (2.0 / 3.0) * C4
+        au, C4 = _apply_bim(u_win, ph_win, R + 2, a0, da, s, mass=mass)
+        d = _diag_bim(C4, mass)
     else:
-        au, _ = _apply_hom(u_win, R + 2, a0, s)
-        d = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+        au, _ = _apply_hom(u_win, R + 2, a0, s, mass=mass)
+        d = _diag_hom(a0, mass)
 
     r = f_ref[...] - au
     r = jnp.where(_interior_mask(row0 + 1, R, Wp, lo, hi, W, s), r, 0.0)
@@ -248,7 +289,7 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
 
 def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
                  bnd_ref, u1_out, fc_out, rsq_ref, uwin, fwin, phw, u1c, *,
-                 R, H, W, Wp, a0, da, omega, s, nb, own_hi, bim):
+                 R, H, W, Wp, a0, da, mass, omega, s, nb, own_hi, bim):
     """Grid step i emits u1 node rows [(i-1)R, iR) AND coarse rows
     [(i-1)R/2, iR/2) of f_c = 4*FW(f - A u1), where u1 = jacobi_sweep(u0).
 
@@ -285,11 +326,11 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
     uw = uwin[...]  # (R+4, Wp): u0 rows [row0, row0 + R + 4)
     if bim:
         phin = phw[...]  # (R+3, Wp): element rows [row0, row0 + R + 3)
-        au0, C4 = _apply_bim(uw, phin, R + 4, a0, da, s)
-        d = (2.0 / 3.0) * C4
+        au0, C4 = _apply_bim(uw, phin, R + 4, a0, da, s, mass=mass)
+        d = _diag_bim(C4, mass)
     else:
-        au0, _ = _apply_hom(uw, R + 4, a0, s)
-        d = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+        au0, _ = _apply_hom(uw, R + 4, a0, s, mass=mass)
+        d = _diag_hom(a0, mass)
     # au0 rows [(i-1)R - 1, iR + 1] -> R+2 rows, aligned with fwin
     f0 = fwin[...]
     r0 = f0 - au0
@@ -305,9 +346,9 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
     # residual of u1 on rows [(i-1)R - 1, iR - 1]
     u1buf = jnp.concatenate([u1c[...], u1full], axis=0)  # rows [(i-1)R-2, iR]
     if bim:
-        au1, _ = _apply_bim(u1buf, phin[0 : R + 2, :], R + 3, a0, da, s)
+        au1, _ = _apply_bim(u1buf, phin[0 : R + 2, :], R + 3, a0, da, s, mass=mass)
     else:
-        au1, _ = _apply_hom(u1buf, R + 3, a0, s)
+        au1, _ = _apply_hom(u1buf, R + 3, a0, s, mass=mass)
     r1 = f0[0 : R + 1, :] - au1
     r1 = jnp.where(_interior_mask(row0 + 1, R + 1, Wp, lo, hi, W, s), r1, 0.0)
     # full weighting + x4 scaling (identical to _rr_kernel)
@@ -326,11 +367,11 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
     # reproducing the old garbage-but-masked behaviour exactly because the
     # row itself is then u0(-2) = 0).
     if bim:
-        auh, C4h = _apply_bim(uh_ref[5:8, :], phh_ref[5:7, :], 3, a0, da, s)
-        dh = (2.0 / 3.0) * C4h
+        auh, C4h = _apply_bim(uh_ref[5:8, :], phh_ref[5:7, :], 3, a0, da, s, mass=mass)
+        dh = _diag_bim(C4h, mass)
     else:
-        auh, _ = _apply_hom(uh_ref[5:8, :], 3, a0, s)
-        dh = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+        auh, _ = _apply_hom(uh_ref[5:8, :], 3, a0, s, mass=mass)
+        dh = _diag_hom(a0, mass)
     rh = fh_ref[6:7, :] - auh
     rh = jnp.where(_interior_mask(-2, 1, Wp, lo, hi, W, s), rh, 0.0)
     u1m2 = uh_ref[6:7, :] + (omega / dh) * rh
@@ -362,8 +403,8 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
 
 def _pswrr_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, fh_ref,
                   phh_ref, uch_ref, bnd_ref, u4_out, fc_out, rsq_ref,
-                  uwin, fwin, phw, ucc, *, R, H, W, Wp, a0, da, omega, s,
-                  nb, own_hi, bim):
+                  uwin, fwin, phw, ucc, *, R, H, W, Wp, a0, da, mass, omega,
+                  s, nb, own_hi, bim):
     """Grid step i emits u4 node rows [(i-1)R, iR) and coarse rows
     [(i-1)R/2, iR/2) of f_c = 4 FW(f - A u4), where
 
@@ -409,22 +450,22 @@ def _pswrr_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, fh_ref,
     f0 = fwin[...]  # (R+5, Wp): f rows [row0 + 1, row0 + R + 6)
     if bim:
         phin = phw[...]  # (R+6, Wp): element rows [row0, row0 + R + 6)
-        au2, C42 = _apply_bim(u2, phin, R + 7, a0, da, s)
-        d2 = (2.0 / 3.0) * C42
+        au2, C42 = _apply_bim(u2, phin, R + 7, a0, da, s, mass=mass)
+        d2 = _diag_bim(C42, mass)
     else:
-        au2, _ = _apply_hom(u2, R + 7, a0, s)
-        d2 = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+        au2, _ = _apply_hom(u2, R + 7, a0, s, mass=mass)
+        d2 = _diag_hom(a0, mass)
     r2 = f0 - au2
     r2 = jnp.where(_interior_mask(row0 + 1, R + 5, Wp, lo, hi, W, s), r2, 0.0)
     u3 = u2[1 : R + 6, :] + (omega / d2) * r2  # rows [row0+1, row0+R+6)
 
     # ---- u4 = jacobi(u3) on R+3 rows [row0+2, row0+R+5) ----
     if bim:
-        au3, C43 = _apply_bim(u3, phin[1 : R + 5, :], R + 5, a0, da, s)
-        d3 = (2.0 / 3.0) * C43
+        au3, C43 = _apply_bim(u3, phin[1 : R + 5, :], R + 5, a0, da, s, mass=mass)
+        d3 = _diag_bim(C43, mass)
     else:
-        au3, _ = _apply_hom(u3, R + 5, a0, s)
-        d3 = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+        au3, _ = _apply_hom(u3, R + 5, a0, s, mass=mass)
+        d3 = _diag_hom(a0, mass)
     r3 = f0[1 : R + 4, :] - au3
     r3 = jnp.where(_interior_mask(row0 + 2, R + 3, Wp, lo, hi, W, s), r3, 0.0)
     u4 = u3[1 : R + 4, :] + (omega / d3) * r3  # rows [row0+2, row0+R+5)
@@ -439,9 +480,9 @@ def _pswrr_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, fh_ref,
 
     # ---- residual of u4 on R+1 rows [(i-1)R - 1, iR - 1] + FW ----
     if bim:
-        au4, _ = _apply_bim(u4, phin[2 : R + 4, :], R + 3, a0, da, s)
+        au4, _ = _apply_bim(u4, phin[2 : R + 4, :], R + 3, a0, da, s, mass=mass)
     else:
-        au4, _ = _apply_hom(u4, R + 3, a0, s)
+        au4, _ = _apply_hom(u4, R + 3, a0, s, mass=mass)
     r4 = f0[2 : R + 3, :] - au4
     r4 = jnp.where(_interior_mask(row0 + 3, R + 1, Wp, lo, hi, W, s), r4, 0.0)
     A = r4[0:R, :].reshape(R // 2, 2, Wp)
@@ -493,7 +534,7 @@ def _c4_from_q(Q, K, s):
 
 
 def _zrr_kernel(f_ref, ph_ref, fh_ref, phh_ref, bnd_ref, fc_out,
-                fwin, phw, *, R, H, W, Wp, a0, da, omega, s, nb, bim):
+                fwin, phw, *, R, H, W, Wp, a0, da, mass, omega, s, nb, bim):
     """Grid step i emits coarse rows [(i-1)R/2, iR/2) of
     f_c = 4 FW(f - A u1) with u1 = (omega/d) f at interior nodes, 0 else.
 
@@ -514,16 +555,16 @@ def _zrr_kernel(f_ref, ph_ref, fh_ref, phh_ref, bnd_ref, fc_out,
     if bim:
         phin = phw[...]  # (R+4, Wp): element rows [row0 - 1, row0 + R + 3)
         Q = phin.astype(jnp.float32) * da + a0
-        d = (2.0 / 3.0) * _c4_from_q(Q, R + 4, s)  # node rows = f0's rows
+        d = _diag_bim(_c4_from_q(Q, R + 4, s), mass)  # node rows = f0's rows
     else:
-        d = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+        d = _diag_hom(a0, mass)
     u1 = (omega / d) * f0
     u1 = jnp.where(_interior_mask(row0, R + 3, Wp, lo, hi, W, s), u1, 0.0)
 
     if bim:
-        au1, _ = _apply_bim(u1, phin[1 : R + 3, :], R + 3, a0, da, s)
+        au1, _ = _apply_bim(u1, phin[1 : R + 3, :], R + 3, a0, da, s, mass=mass)
     else:
-        au1, _ = _apply_hom(u1, R + 3, a0, s)
+        au1, _ = _apply_hom(u1, R + 3, a0, s, mass=mass)
     # au1 rows [(i-1)R - 1, iR - 1] (R+1 rows)
     r1 = f0[1 : R + 2, :] - au1
     r1 = jnp.where(_interior_mask(row0 + 1, R + 1, Wp, lo, hi, W, s), r1, 0.0)
@@ -549,7 +590,7 @@ def _zrr_kernel(f_ref, ph_ref, fh_ref, phh_ref, bnd_ref, fc_out,
 
 def _zpsweep_kernel(f_ref, ph_ref, uc_ref, dst_ref, fh_ref, phh_ref, uch_ref,
                     bnd_ref, u_out, fwin, phw, ucc, *, R, H, W, Wp, a0, da,
-                    omega, s, nb, R_up, bim):
+                    mass, omega, s, nb, R_up, bim):
     """Grid step i emits u3 rows [(i-1)R, iR) where
     u3 = jacobi_sweep(u2),  u2 = (omega/d) f (interior) + P(uc).
 
@@ -572,9 +613,9 @@ def _zpsweep_kernel(f_ref, ph_ref, uc_ref, dst_ref, fh_ref, phh_ref, uch_ref,
     if bim:
         phin = phw[...]  # (R+3, Wp): element rows [row0 - 1, row0 + R + 2)
         Q = phin.astype(jnp.float32) * da + a0
-        d_all = (2.0 / 3.0) * _c4_from_q(Q, R + 3, s)  # rows = f0's rows
+        d_all = _diag_bim(_c4_from_q(Q, R + 3, s), mass)  # rows = f0's rows
     else:
-        d_all = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+        d_all = _diag_hom(a0, mass)
     u1 = (omega / d_all) * f0
     u1 = jnp.where(_interior_mask(row0, R + 2, Wp, lo, hi, W, s), u1, 0.0)
 
@@ -591,11 +632,11 @@ def _zpsweep_kernel(f_ref, ph_ref, uc_ref, dst_ref, fh_ref, phh_ref, uch_ref,
     u2 = u1 + corr
 
     if bim:
-        au, C4 = _apply_bim(u2, phin[1 : R + 2, :], R + 2, a0, da, s)
-        d = (2.0 / 3.0) * C4
+        au, C4 = _apply_bim(u2, phin[1 : R + 2, :], R + 2, a0, da, s, mass=mass)
+        d = _diag_bim(C4, mass)
     else:
-        au, _ = _apply_hom(u2, R + 2, a0, s)
-        d = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
+        au, _ = _apply_hom(u2, R + 2, a0, s, mass=mass)
+        d = _diag_hom(a0, mass)
     r = f0[1 : R + 1, :] - au
     r = jnp.where(_interior_mask(row0 + 1, R, Wp, lo, hi, W, s), r, 0.0)
     u_out[...] = u2[1 : R + 1, :] + (omega / d) * r
@@ -619,7 +660,7 @@ def _zpsweep_kernel(f_ref, ph_ref, uc_ref, dst_ref, fh_ref, phh_ref, uch_ref,
 
 
 def _rr_kernel(u_ref, f_ref, ph_ref, uh_ref, bnd_ref, fc_out, rsq_ref,
-               cache, fch, phc, *, R, H, W, Wp, a0, da, s, nb, own_hi, bim):
+               cache, fch, phc, *, R, H, W, Wp, a0, da, mass, s, nb, own_hi, bim):
     """Grid step i emits coarse node rows [(i-1)R/2, iR/2) of f_c = 4*FW(r).
 
     Needs residual rows [(i-1)R - 1, iR - 1] (R+1 rows), hence u rows
@@ -646,9 +687,9 @@ def _rr_kernel(u_ref, f_ref, ph_ref, uh_ref, bnd_ref, fc_out, rsq_ref,
 
     if bim:
         ph_win = jnp.concatenate([phc[...], ph_ref[...]], axis=0)  # (R+2, Wp)
-        au, _ = _apply_bim(u_win, ph_win, R + 3, a0, da, s)
+        au, _ = _apply_bim(u_win, ph_win, R + 3, a0, da, s, mass=mass)
     else:
-        au, _ = _apply_hom(u_win, R + 3, a0, s)
+        au, _ = _apply_hom(u_win, R + 3, a0, s, mass=mass)
     # au covers node rows [(i-1)R - 1, iR]  -> R+1 rows
     f_win = jnp.concatenate([fch[...], f_ref[...]], axis=0)  # same rows
     r = f_win - au
@@ -709,11 +750,11 @@ def _default_bounds(H, W):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "mode", "R_up", "interpret",
+    "R", "H", "W", "Wp", "a0", "da", "mass", "omega", "s", "mode", "R_up", "interpret",
     "vmem_mb", "own_rows"))
 def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, uh, uch, bnd, *, R, H, W,
                Wp, a0, da, omega, s, mode, R_up, interpret, vmem_mb=None,
-               own_rows=None):
+               own_rows=None, mass=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     with_corr = uc_pad is not None
@@ -724,7 +765,8 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, uh, uch, bnd, *, R, H, W,
     if bnd is None:
         bnd = _default_bounds(H, W)
     kern = functools.partial(
-        _sweep_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega,
+        _sweep_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, mass=mass,
+        omega=omega,
         s=s, nb=nb, own_hi=(own_rows if own_rows is not None else nb * R) - 1,
         bim=bim, mode=("sweep" if with_corr else mode),
         with_corr=with_corr)
@@ -783,11 +825,11 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, uh, uch, bnd, *, R, H, W,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "Rc", "out_rows",
+    "R", "H", "W", "Wp", "a0", "da", "mass", "omega", "s", "Rc", "out_rows",
     "own_rows", "interpret", "vmem_mb"))
 def _run_swrr(u_pad, f_pad, ph_pad, dst, uh, fh, phh, bnd, *, R, H, W, Wp,
               a0, da, omega, s, Rc, interpret, vmem_mb=None, out_rows=None,
-              own_rows=None):
+              own_rows=None, mass=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if out_rows is None:
@@ -805,7 +847,7 @@ def _run_swrr(u_pad, f_pad, ph_pad, dst, uh, fh, phh, bnd, *, R, H, W, Wp,
     idx_off = 2 * Rc // R - 1
     assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
     kern = functools.partial(_swrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0,
-                             da=da, omega=omega, s=s, nb=nb,
+                             da=da, mass=mass, omega=omega, s=s, nb=nb,
                              own_hi=(own_rows if own_rows is not None
                                      else nb * R) - 2, bim=bim)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 1)]
@@ -858,11 +900,11 @@ def _run_swrr(u_pad, f_pad, ph_pad, dst, uh, fh, phh, bnd, *, R, H, W, Wp,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "Rc", "R_up", "out_rows",
+    "R", "H", "W", "Wp", "a0", "da", "mass", "omega", "s", "Rc", "R_up", "out_rows",
     "own_rows", "interpret", "vmem_mb"))
 def _run_pswrr(u_pad, f_pad, ph_pad, uc_pad, dst, uh, fh, phh, uch, bnd, *,
                R, H, W, Wp, a0, da, omega, s, Rc, R_up, interpret,
-               vmem_mb=None, out_rows=None, own_rows=None):
+               vmem_mb=None, out_rows=None, own_rows=None, mass=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if out_rows is None:
@@ -882,7 +924,8 @@ def _run_pswrr(u_pad, f_pad, ph_pad, uc_pad, dst, uh, fh, phh, uch, bnd, *,
     idx_off = 2 * Rc // R - 1
     assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
     kern = functools.partial(
-        _pswrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega, s=s,
+        _pswrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, mass=mass,
+        omega=omega, s=s,
         nb=nb, own_hi=(own_rows if own_rows is not None else nb * R) - 2,
         bim=bim)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 1)]
@@ -933,10 +976,10 @@ def _run_pswrr(u_pad, f_pad, ph_pad, uc_pad, dst, uh, fh, phh, uch, bnd, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "Rc", "out_rows",
+    "R", "H", "W", "Wp", "a0", "da", "mass", "omega", "s", "Rc", "out_rows",
     "interpret", "vmem_mb"))
 def _run_zrr(f_pad, ph_pad, fh, phh, bnd, *, R, H, W, Wp, a0, da, omega, s,
-             Rc, interpret, vmem_mb=None, out_rows=None):
+             Rc, interpret, vmem_mb=None, out_rows=None, mass=None):
     nb = (f_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if out_rows is None:
@@ -952,7 +995,7 @@ def _run_zrr(f_pad, ph_pad, fh, phh, bnd, *, R, H, W, Wp, a0, da, omega, s,
     idx_off = 2 * Rc // R - 1
     assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
     kern = functools.partial(_zrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da,
-                             omega=omega, s=s, nb=nb, bim=bim)
+                             mass=mass, omega=omega, s=s, nb=nb, bim=bim)
     in_specs = [_lagged_spec(R, Wp, 1)]
     args = [f_pad]
     if bim:
@@ -988,10 +1031,11 @@ def _run_zrr(f_pad, ph_pad, fh, phh, bnd, *, R, H, W, Wp, a0, da, omega, s,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "H", "W", "Wp", "a0", "da", "omega", "s", "R_up", "interpret",
+    "R", "H", "W", "Wp", "a0", "da", "mass", "omega", "s", "R_up", "interpret",
     "vmem_mb"))
 def _run_zpsweep(f_pad, ph_pad, uc_pad, dst, fh, phh, uch, bnd, *, R, H, W,
-                 Wp, a0, da, omega, s, R_up, interpret, vmem_mb=None):
+                 Wp, a0, da, omega, s, R_up, interpret, vmem_mb=None,
+                 mass=None):
     nb = (f_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if fh is None:
@@ -1004,8 +1048,8 @@ def _run_zpsweep(f_pad, ph_pad, uc_pad, dst, fh, phh, uch, bnd, *, R, H, W,
         bnd = _default_bounds(H, W)
     assert (2 * R_up) % R == 0
     kern = functools.partial(_zpsweep_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0,
-                             da=da, omega=omega, s=s, nb=nb, R_up=R_up,
-                             bim=bim)
+                             da=da, mass=mass, omega=omega, s=s, nb=nb,
+                             R_up=R_up, bim=bim)
     in_specs = [_lagged_spec(R, Wp, 1)]
     args = [f_pad]
     if bim:
@@ -1045,10 +1089,10 @@ def _run_zpsweep(f_pad, ph_pad, uc_pad, dst, fh, phh, uch, bnd, *, R, H, W,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "H", "W", "Wp", "a0", "da", "s", "Rc", "out_rows", "own_rows",
+    "R", "H", "W", "Wp", "a0", "da", "mass", "s", "Rc", "out_rows", "own_rows",
     "interpret", "vmem_mb"))
 def _run_rr(u_pad, f_pad, ph_pad, uh, bnd, *, R, H, W, Wp, a0, da, s, Rc,
-            interpret, vmem_mb=None, out_rows=None, own_rows=None):
+            interpret, vmem_mb=None, out_rows=None, own_rows=None, mass=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if out_rows is None:
@@ -1062,7 +1106,7 @@ def _run_rr(u_pad, f_pad, ph_pad, uh, bnd, *, R, H, W, Wp, a0, da, s, Rc,
     idx_off = 2 * Rc // R - 1
     assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
     kern = functools.partial(_rr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da,
-                             s=s, nb=nb,
+                             mass=mass, s=s, nb=nb,
                              own_hi=(own_rows if own_rows is not None
                                      else nb * R) - 2, bim=bim)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 0)]
@@ -1131,7 +1175,8 @@ class PallasLevel:
                  Wp: Optional[int] = None, rows: int = 64,
                  rows_next: Optional[int] = None,
                  interpret: Optional[bool] = None, dtype=jnp.float32,
-                 vmem_mb: Optional[int] = 64):
+                 vmem_mb: Optional[int] = 64,
+                 mass: Optional[tuple] = None):
         self.n = n
         self.H = self.W = n + 1
         self.s = int(stride)
@@ -1146,6 +1191,13 @@ class PallasLevel:
         self.a0 = float(coefficients[0])
         self.da = (float(coefficients[1]) - float(coefficients[0])
                    if phase is not None else 0.0)
+        # Optional pattern-independent per-element operator (mp, ms, mo):
+        # adds sum_e [mp u_p + ms s_e + mo u_opp] to the stiffness apply and
+        # 4 (mp + ms) to the Jacobi diagonal.  The heat theta-system
+        # M + theta dt K is coefficients=(theta dt a0, theta dt a1) with
+        # mass = h^2/36 * (2, 2, -1) (ops/heat.py pallas_heat_hierarchy).
+        self.mass = (tuple(float(m) for m in mass)
+                     if mass is not None else None)
         self.omega = float(omega)
         self.dtype = dtype
         if interpret is None:
@@ -1183,7 +1235,7 @@ class PallasLevel:
 
     def _cfg(self):
         return dict(R=self.R, H=self.H, W=self.W, Wp=self.Wp, a0=self.a0,
-                    da=self.da, omega=self.omega, s=self.s,
+                    da=self.da, mass=self.mass, omega=self.omega, s=self.s,
                     interpret=self.interpret)
 
     def sweep(self, u_pad, f_pad, dst=None, uh=None, uch=None, bnd=None,

@@ -66,9 +66,19 @@ class PallasHierarchyV2:
                  omega: float = DEFAULT_OMEGA, pallas_threshold: int = 256,
                  rows: int = 64, interpret: Optional[bool] = None,
                  direct_coarse: bool = True, psweep_vmem_mb: Optional[int] = None,
-                 rows_coarse: Optional[int] = 32, coarse_rows_below: int = 1024):
+                 rows_coarse: Optional[int] = 32, coarse_rows_below: int = 1024,
+                 hier: Optional[GridHierarchy] = None, coefficients=None,
+                 mass_fn=None):
+        """``hier``/``coefficients``/``mass_fn`` generalize the solver to any
+        phase-affine operator of the form  c * K + M  (stiffness scaled by a
+        constant plus a pattern-independent per-element operator): pass the
+        prebuilt system hierarchy (drives the XLA subtree + direct coarse
+        solve), the scaled ``(c a0, c a1)`` coefficient pair, and a
+        ``mass_fn(level) -> (mp, ms, mo) | None`` evaluated per level.  The
+        heat theta-system wrapper is ops/heat.py::pallas_heat_hierarchy."""
         self.problem = problem
-        self.hier = GridHierarchy.create(problem, num_levels)
+        self.hier = hier if hier is not None else GridHierarchy.create(
+            problem, num_levels)
         self.omega = float(omega)
         self.psweep_vmem_mb = psweep_vmem_mb
         levels = self.hier.levels
@@ -91,6 +101,8 @@ class PallasHierarchyV2:
                 return rows
             return rows_coarse
 
+        coeffs = (tuple(coefficients) if coefficients is not None
+                  else problem.coefficients)
         Wp = None
         self.pl = []
         for l in range(min(K + 1, L)):
@@ -99,9 +111,10 @@ class PallasHierarchyV2:
             R_l = _rows_for(lv.n)
             R_next = _rows_for(levels[l + 1].n) if l + 1 < L else R_l
             p = PallasLevel(lv.n, stride=1 << l, phase=phase,
-                            coefficients=problem.coefficients, omega=omega,
+                            coefficients=coeffs, omega=omega,
                             Wp=Wp, rows=R_l, rows_next=R_next,
-                            interpret=interpret)
+                            interpret=interpret,
+                            mass=(mass_fn(lv) if mass_fn is not None else None))
             Wp = p.Wp
             self.pl.append(p)
         self.coarse_inv = None

@@ -99,3 +99,66 @@ def test_v2_kernels_parity(bim, s, R):
     u3_sep, _ = pl_lv.psweep(u1z, f_pad, uc_pad, R_up=R)
     u3_z = pl_lv.zpsweep(f_pad, uc_pad, R_up=R)
     assert _rel_err(pl_lv.unpad(u3_z), pl_lv.unpad(u3_sep)) < 1e-6
+
+
+@pytest.mark.parametrize("bim", [False, True], ids=["hom", "bim"])
+def test_heat_mass_kernels_parity(bim):
+    """PallasLevel with the pattern-independent mass triple runs the heat
+    theta-system  B = M + theta dt K  (ops/heat.py): every fused leg must
+    match the XLA affine-bitplane ops on the system hierarchy."""
+    from multigrid_feanet_tpu.ops import heat
+
+    rng = np.random.default_rng(3)
+    n, dt, theta = 64, 0.05, 0.5
+    H, Wp, R = n + 1, 128, 32
+    prob = Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5) if bim else None,
+                   dtype=jnp.float32)
+    lv = heat.heat_system_hierarchy(prob, dt, theta).finest
+    td = theta * dt
+    a0, a1 = prob.coefficients
+    mass = (lv.h * lv.h / 18.0, lv.h * lv.h / 18.0, -lv.h * lv.h / 36.0)
+    pl_lv = PallasLevel(n, stride=1, phase=prob.phase(n) if bim else None,
+                        coefficients=(td * a0, td * a1), mass=mass,
+                        Wp=Wp, rows=R, rows_next=R, interpret=True)
+    u = jnp.asarray(rng.standard_normal((H, H)), jnp.float32) * lv.geo
+    f = jnp.asarray(rng.standard_normal((H, H)), jnp.float32)
+    u_pad, f_pad = pl_lv.pad(u), pl_lv.pad(f)
+    r_ref = (f - lv.apply(u)) * lv.geo
+    rsq_ref = float(jnp.sum(r_ref * r_ref))
+
+    got, rsq = pl_lv.sweep(u_pad, f_pad)
+    want = jac.jacobi_step(lv, u, f, 0.0, 2.0 / 3.0)
+    assert _rel_err(pl_lv.unpad(got), want) < TOL
+    assert abs(float(rsq) - rsq_ref) / max(rsq_ref, 1.0) < TOL
+
+    fc, rsq3 = pl_lv.restrict_residual(u_pad, f_pad)
+    nc = n // 2
+    pl_c = PallasLevel(nc, stride=2, phase=None, Wp=Wp, rows=R,
+                       rows_next=R, interpret=True)
+    want_fc = 4.0 * restrict_full_weighting(r_ref)
+    assert _rel_err(pl_c.unpad(fc), want_fc) < TOL
+    assert abs(float(rsq3) - rsq_ref) / max(rsq_ref, 1.0) < TOL
+
+    uc = jnp.asarray(rng.standard_normal((nc + 1, nc + 1)), jnp.float32)
+    uc_pad = pl_c.pad(uc)
+    got_p, _ = pl_lv.psweep(u_pad, f_pad, uc_pad, R_up=R)
+    u_corr = u + prolong_bilinear(uc, lv.geo)
+    want_p = jac.jacobi_step(lv, u_corr, f, 0.0, 2.0 / 3.0)
+    assert _rel_err(pl_lv.unpad(got_p), want_p) < TOL
+
+    # fused legs vs their unfused compositions (mass plumbed through all)
+    u1_fus, fc_fus, _ = pl_lv.sweep_restrict(u_pad, f_pad)
+    fc_sep, _ = pl_lv.restrict_residual(pl_lv.sweep(u_pad, f_pad)[0], f_pad)
+    assert _rel_err(pl_c.unpad(fc_fus), pl_c.unpad(fc_sep)) < 1e-6
+    u4_fus, fc2_fus, _ = pl_lv.pswrr(u_pad, f_pad, uc_pad, R_up=R)
+    u3_ref, _ = pl_lv.psweep(u_pad, f_pad, uc_pad, R_up=R)
+    u4_ref, fc2_ref, _ = pl_lv.sweep_restrict(u3_ref, f_pad)
+    assert _rel_err(pl_lv.unpad(u4_fus), pl_lv.unpad(u4_ref)) < 1e-6
+    assert _rel_err(pl_c.unpad(fc2_fus), pl_c.unpad(fc2_ref)) < 1e-6
+    fc_z = pl_lv.zsweep_restrict(f_pad)
+    u1z, _ = pl_lv.sweep(pl_lv.zeros(), f_pad)
+    fc_z_sep, _ = pl_lv.restrict_residual(u1z, f_pad)
+    assert _rel_err(pl_c.unpad(fc_z), pl_c.unpad(fc_z_sep)) < 1e-6
+    u3_z = pl_lv.zpsweep(f_pad, uc_pad, R_up=R)
+    u3_sep, _ = pl_lv.psweep(u1z, f_pad, uc_pad, R_up=R)
+    assert _rel_err(pl_lv.unpad(u3_z), pl_lv.unpad(u3_sep)) < 1e-6
