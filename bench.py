@@ -42,7 +42,7 @@ def main():
     from multigrid_feanet_tpu.ops.pallas_stencil import PallasStencil
     from multigrid_feanet_tpu.ops.pallas_sweep import PallasLevel
     from multigrid_feanet_tpu.solvers import elastic as elastic_mod
-    from multigrid_feanet_tpu.solvers import hmg, jacobi
+    from multigrid_feanet_tpu.solvers import hmg
     from multigrid_feanet_tpu.solvers.pallas_mg2 import PallasHierarchyV2
 
     n = 4096
@@ -141,24 +141,27 @@ def main():
         ts_fix[mc] = best
     ms_per_cycle = (ts_fix[24] - ts_fix[8]) / 16 * 1e3
 
-    # --- heat theta-system sweep (gather-free affine bitplane), 4097^2 ---
-    heat_hier = heat.heat_system_hierarchy(
-        Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5),
-                dtype=jnp.float32), dt=1e-3, theta=0.5, num_levels=1)
-    hl = heat_hier.finest
-
-    @jax.jit
-    def heat_loop(u_, f_):
-        def body(u_, _):
-            return jacobi.jacobi_step(hl, u_, f_, 0.0), None
-        return jax.lax.scan(body, u_, None, length=50)[0]
-
-    hu = heat_loop(u, f)
+    # --- heat theta-system on the fused Pallas kernels, 4097^2 ---
+    # sweep: PallasLevel with the mass triple (M + theta dt K); march: 10
+    # implicit steps, 2 V(1,1) cycles each, ONE lax.scan dispatch
+    # (ops/heat.py::HeatSolver.march; on-chip parity vs the XLA path in
+    # results/heat_march_tpu.json and tests/test_heat.py)
+    bi_prob = Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5),
+                      dtype=jnp.float32)
+    hs = heat.HeatSolver(bi_prob, dt=1e-3, theta=0.5, backend="pallas",
+                         pallas_kw=dict(num_levels=9, pallas_threshold=32,
+                                        rows=64, rows_coarse=32))
+    heat_sweep_us = v2_sweep_time(hs.ph.pl[0]) * 1e6
+    steps = 10
+    u0h = jnp.zeros((n + 1, n + 1), jnp.float32)
+    hu = hs.march(u0h, f, steps, cycles_per_step=2)
     jax.block_until_ready(hu)
-    t0 = time.time()
-    hu = heat_loop(hu, f)
-    jax.block_until_ready(hu)
-    heat_sweep_us = (time.time() - t0) / 50 * 1e6
+    heat_march_ms = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        hu = hs.march(u0h, f, steps, cycles_per_step=2)
+        jax.block_until_ready(hu)
+        heat_march_ms = min(heat_march_ms, (time.time() - t0) / steps * 1e3)
 
     # --- elastic block-Jacobi sweep (vector bitplane), 2049^2 bi-material ---
     ne = 2048
@@ -209,6 +212,7 @@ def main():
         "vcycle_4097_q": q,
         "vcycle_4097_ms_per_cycle_net": ms_per_cycle,
         "heat_sweep_us_4097_bimaterial": heat_sweep_us,
+        "heat_march_ms_per_step_4097": heat_march_ms,
         "elastic_sweep_us_2049_bimaterial": elastic_sweep_us,
         "hmg_4097_solve_s": t_hmg,
         "hmg_4097_cycles": len(hh),

@@ -15,9 +15,13 @@ import numpy as np
 
 def interior_mask(n_nodes: int, dtype=jnp.float32) -> jax.Array:
     """(H, W) mask: 1 at interior nodes, 0 on the square boundary.
-    (reference: FEANet/geo.py:13-20)"""
-    m = jnp.zeros((n_nodes, n_nodes), dtype=dtype)
-    return m.at[1:-1, 1:-1].set(1.0)
+    (reference: FEANet/geo.py:13-20)
+
+    Built host-side: each eagerly-executed device op at a new shape costs an
+    XLA compile, which dominates hierarchy construction on a remote TPU."""
+    m = np.zeros((n_nodes, n_nodes), dtype=dtype)
+    m[1:-1, 1:-1] = 1.0
+    return jnp.asarray(m)
 
 
 def reset_boundary(u: jax.Array, geo: jax.Array, bc_value: jax.Array | float = 0.0) -> jax.Array:

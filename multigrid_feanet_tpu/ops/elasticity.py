@@ -181,6 +181,79 @@ def unit_block_taps(E: float, nu: float, plane: str = "stress"):
     return s4.sum(axis=0), s4
 
 
+def elastic_factor_constants(E: float, nu: float, plane: str = "stress"):
+    """The five scalars that generate every 2x2 block of the Q1 elastic
+    element stiffness (h-independent): within one element, the coupling of
+    node p to node q is
+
+        same node:        [[al, s be], [s be, al]]
+        col (x) neighbor: [[ga, -s ep], [s ep, de]]
+        row (y) neighbor: [[de,  s ep], [-s ep, ga]]
+        diagonal:         [[ze, -s be], [-s be, ze]]
+
+    with s = +1 when p sits on the element's main (SW/NE) diagonal and -1
+    on the anti-diagonal.  Basis of the factored/Pallas elastic apply."""
+    ke = element_stiffness_elastic(E, nu, 1.0, plane)
+    return (ke[0, 0], ke[0, 1], ke[0, 2], ke[1, 2], ke[1, 3], ke[0, 4])
+
+
+def elastic_q_corners(phase, shape, a0: float, a1: float, dtype):
+    """Per-node element coefficients (Q_ne, Q_nw, Q_se, Q_sw), each (H, W).
+    Fictitious out-of-domain elements carry a0 (phase 0), matching the
+    bitplane form's s9-everywhere + masked-da semantics."""
+    H, W = shape
+    if phase is None:
+        q = jnp.full((H + 1, W + 1), float(a0), dtype)
+    else:
+        q = float(a0) + (float(a1) - float(a0)) * jnp.pad(
+            jnp.asarray(phase).astype(dtype), 1)
+    return q[1:, 1:], q[1:, :-1], q[:-1, 1:], q[:-1, :-1]
+
+
+def apply_elastic_factored(phase, u: jax.Array, E: float, nu: float,
+                           a0: float, a1: float, plane: str = "stress") -> jax.Array:
+    """A @ u via the element-factored 5-constant form — sum over the 4
+    surrounding elements e of  Q_e * (Ke block row of node p) applied to the
+    element's nodes, with Q_e = a0 + (a1-a0) * phase_e.  Identical math to
+    ``apply_elastic_bitplane`` with ~1/3 the field passes; the window form
+    inside the Pallas sweep kernel (ops/pallas_elastic.py).
+
+    ``phase``: (n, n) element bitmap (None = homogeneous); ``u``: (..., 2,
+    H, W) with component 0 = column (x) displacement."""
+    al, be, ga, ep, de, ze = elastic_factor_constants(E, nu, plane)
+    H, W = u.shape[-2:]
+    Qne, Qnw, Qse, Qsw = elastic_q_corners(phase, (H, W), a0, a1, u.dtype)
+    C4 = Qne + Qnw + Qse + Qsw
+    C4s = Qne + Qsw - Qnw - Qse
+    Qe, Qw = Qne + Qse, Qnw + Qsw
+    Qn, Qs = Qne + Qnw, Qse + Qsw
+    dE, dW = Qne - Qse, Qsw - Qnw
+    dN, dS = Qne - Qnw, Qsw - Qse
+
+    up = jnp.pad(u, [(0, 0)] * (u.ndim - 2) + [(1, 1), (1, 1)])
+
+    def sh(c, dr, dc):  # u component c shifted so entry (i,j) = u[c, i+dr, j+dc]
+        return up[..., c, 1 + dr : 1 + dr + H, 1 + dc : 1 + dc + W]
+
+    out = []
+    for c in range(2):  # out component: 0 = x (cols), 1 = y (rows)
+        uc, vo = (0, 1) if c == 0 else (1, 0)  # same-comp, cross-comp
+        sg = 1.0 if c == 0 else -1.0  # cross ep sign flips between rows
+        g_ew, g_ns = (ga, de) if c == 0 else (de, ga)
+        o = (al * C4 * sh(uc, 0, 0)
+             + g_ew * (Qe * sh(uc, 0, 1) + Qw * sh(uc, 0, -1))
+             + g_ns * (Qn * sh(uc, 1, 0) + Qs * sh(uc, -1, 0))
+             + ze * (Qne * sh(uc, 1, 1) + Qnw * sh(uc, 1, -1)
+                     + Qse * sh(uc, -1, 1) + Qsw * sh(uc, -1, -1))
+             + be * C4s * sh(vo, 0, 0)
+             - sg * ep * (dE * sh(vo, 0, 1) + dW * sh(vo, 0, -1))
+             + sg * ep * (dN * sh(vo, 1, 0) + dS * sh(vo, -1, 0))
+             - be * (Qne * sh(vo, 1, 1) - Qnw * sh(vo, 1, -1)
+                     - Qse * sh(vo, -1, 1) + Qsw * sh(vo, -1, -1)))
+        out.append(o)
+    return jnp.stack(out, axis=-3)
+
+
 def apply_elastic_bitplane(pid: jax.Array, u: jax.Array, E: float, nu: float,
                            a0: float, a1: float, plane: str = "stress") -> jax.Array:
     """A @ u for the two-phase elastic operator with no gathers:

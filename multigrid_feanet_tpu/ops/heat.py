@@ -48,29 +48,33 @@ def heat_system_hierarchy(problem: Problem, dt: float, theta: float = 1.0,
     (diagonal, dense oracles).
     """
     base = GridHierarchy.create(problem, num_levels)
-    s9 = stencil.make_homogeneous_stencil(dtype=problem.dtype)
+    # assembled host-side (numpy) — see core/problem.py::build_level
+    s9_np = stencil.make_stencil_table_np((1.0, 1.0))[0]
+    m_np = np.asarray(stencil.MASS_KERNEL)
     levels = []
     for lv in base.levels:
+        hh = lv.h * lv.h
         if lv.pid is None:
-            k_tab = lv.table[None]  # (1, 3, 3)
-            mt = mass_table(lv.h, 1, dtype=lv.table.dtype)
-            sys_tab = (mt + theta * dt * k_tab)[0]
-            diag = stencil.stencil_diagonal(sys_tab, None, shape=lv.geo.shape)
-            levels.append(lv.replace(table=sys_tab, diag=diag))
-        else:
-            mt = mass_table(lv.h, lv.table.shape[0], dtype=lv.table.dtype)
-            sys_tab = mt + theta * dt * lv.table
-            diag = stencil.stencil_diagonal(sys_tab, lv.pid)
-            sys_base = ((lv.h * lv.h) * jnp.asarray(stencil.MASS_KERNEL)
-                        + (theta * dt * lv.a0) * s9).astype(lv.table.dtype)
+            sys_np = hh * m_np + theta * dt * s9_np
+            diag = jnp.full(lv.geo.shape, sys_np[1, 1], dtype=lv.table.dtype)
             levels.append(lv.replace(
-                table=sys_tab, diag=diag, a0=None, a1=None,
-                base=sys_base, bit_scale=float(theta * dt * (lv.a1 - lv.a0))))
+                table=jnp.asarray(sys_np, lv.table.dtype), diag=diag))
+        else:
+            k_np = stencil.make_stencil_table_np(problem.coefficients)
+            sys_np = hh * m_np + theta * dt * k_np
+            pid_np = stencil.pattern_ids_np(problem.phase(lv.n))
+            diag = jnp.asarray(sys_np[:, 1, 1][pid_np], lv.table.dtype)
+            sys_base = jnp.asarray(hh * m_np + (theta * dt * lv.a0) * s9_np,
+                                   lv.table.dtype)
+            levels.append(lv.replace(
+                table=jnp.asarray(sys_np, lv.table.dtype), diag=diag,
+                a0=None, a1=None, base=sys_base,
+                bit_scale=float(theta * dt * (lv.a1 - lv.a0))))
     return GridHierarchy(levels=tuple(levels))
 
 
 def pallas_heat_hierarchy(problem: Problem, dt: float, theta: float = 1.0,
-                          num_levels: Optional[int] = None, **kw):
+                          num_levels: Optional[int] = None, sys=None, **kw):
     """PallasHierarchyV2 for the theta-system  B = M + theta dt K.
 
     The fused element-factored kernels run B directly: the stiffness part is
@@ -83,7 +87,8 @@ def pallas_heat_hierarchy(problem: Problem, dt: float, theta: float = 1.0,
     ``multigrid.solve`` on that hierarchy."""
     from multigrid_feanet_tpu.solvers.pallas_mg2 import PallasHierarchyV2
 
-    sys = heat_system_hierarchy(problem, dt, theta, num_levels)
+    if sys is None:
+        sys = heat_system_hierarchy(problem, dt, theta, num_levels)
     td = float(theta) * float(dt)
     a0, a1 = problem.coefficients
     return PallasHierarchyV2(
@@ -108,8 +113,12 @@ class HeatSolver:
         self.sys = heat_system_hierarchy(self.problem, self.dt, self.theta)
         self.stiff = GridHierarchy.create(self.problem)
         self.h = self.problem.size / self.problem.n
-        self.ph = (pallas_heat_hierarchy(self.problem, self.dt, self.theta,
-                                         **(self.pallas_kw or {}))
+        kw = dict(self.pallas_kw or {})
+        # share self.sys unless the caller truncates the pallas hierarchy
+        share = "num_levels" not in kw
+        self.ph = (pallas_heat_hierarchy(
+                       self.problem, self.dt, self.theta,
+                       sys=self.sys if share else None, **kw)
                    if self.backend == "pallas" else None)
 
     def rhs(self, u_n: jax.Array, f_n: jax.Array, f_np1: jax.Array) -> jax.Array:

@@ -1209,7 +1209,17 @@ class PallasLevel:
         # 128 MB of VMEM, so 64 MB is safely clear of both.
         self.vmem_mb = vmem_mb
         self.bim = phase is not None
-        self.ph_pad = self.pad(jnp.asarray(phase), jnp.int8) if self.bim else None
+        if self.bim:
+            # padded host-side: an eager strided scatter at this level's
+            # unique buffer shape costs an XLA compile per level on a
+            # remote TPU (see core/problem.py::build_level)
+            ph_np = np.asarray(phase)
+            buf = np.zeros(self.buf_shape, np.int8)
+            buf[self.R : self.R + ph_np.shape[0],
+                0 : ph_np.shape[1] * self.s : self.s] = ph_np
+            self.ph_pad = jnp.asarray(buf)
+        else:
+            self.ph_pad = None
 
     # ---- layout ----
 

@@ -111,6 +111,11 @@ def make_stencil_table(coefficients=(1.0, 20.0), dtype=jnp.float32) -> jax.Array
     (reference: FEANet/mesh.py:103-117) but derived by direct enumeration,
     validated in tests against a dense quadrature-assembled FEM matrix.
     """
+    return jnp.asarray(make_stencil_table_np(coefficients), dtype=dtype)
+
+
+def make_stencil_table_np(coefficients=(1.0, 20.0)) -> np.ndarray:
+    """Host-side (16, 3, 3) f64 stencil table (see ``make_stencil_table``)."""
     a = np.asarray(coefficients, dtype=np.float64)
     table = np.zeros((16, 3, 3), dtype=np.float64)
     for pid in range(16):
@@ -120,7 +125,7 @@ def make_stencil_table(coefficients=(1.0, 20.0), dtype=jnp.float32) -> jax.Array
             lp = loc[(0, 0)]
             for (qi, qj), lq in loc.items():
                 table[pid, qi + 1, qj + 1] += a[phase_bit] * KE[lp, lq]
-    return jnp.asarray(table, dtype=dtype)
+    return table
 
 
 def make_homogeneous_stencil(dtype=jnp.float32) -> jax.Array:
@@ -169,6 +174,15 @@ def pattern_ids(phase: jax.Array) -> jax.Array:
     nw = p[1:, :-1]
     ne = p[1:, 1:]
     return (sw + 2 * se + 4 * nw + 8 * ne).astype(jnp.int8)
+
+
+def pattern_ids_np(phase: np.ndarray) -> np.ndarray:
+    """Host-side ``pattern_ids`` (same bit layout) for hierarchy
+    construction: eager device ops pay one XLA compile per level shape on a
+    remote TPU, so level fields are built in numpy and shipped once."""
+    p = np.pad(np.asarray(phase).astype(np.int8), 1)
+    return (p[:-1, :-1] + 2 * p[:-1, 1:] + 4 * p[1:, :-1]
+            + 8 * p[1:, 1:]).astype(np.int8)
 
 
 def gather_coefficients(table: jax.Array, pid: jax.Array) -> jax.Array:
