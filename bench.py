@@ -163,26 +163,70 @@ def main():
         jax.block_until_ready(hu)
         heat_march_ms = min(heat_march_ms, (time.time() - t0) / steps * 1e3)
 
-    # --- elastic block-Jacobi sweep (vector bitplane), 2049^2 bi-material ---
+    # --- elastic block-Jacobi sweep (fused Pallas kernel), 2049^2 ---
+    # (ops/pallas_elastic.py; on-chip parity vs the XLA block ops in
+    # tests/test_pallas_elastic.py + experiments/tpu_parity.py)
+    from multigrid_feanet_tpu.ops.pallas_elastic import PallasElasticLevel
+
     ne = 2048
-    elev = elastic_mod.build_elastic_hierarchy(
-        ne, inclusion=("circle", (0.0, 0.0), 0.5), coefficients=(1.0, 20.0),
-        num_levels=1)[0]
+    E_, nu_ = 212e3, 0.288  # Plane_Stress_modify.m:11-12
+    phase_e = geometry.circle_phase(2.0, ne)
+    ple = PallasElasticLevel(ne, E_, nu_, phase=phase_e,
+                             coefficients=(1.0, 20.0), rows=64,
+                             interpret=False)
     ue = jnp.asarray(rng.standard_normal((2, ne + 1, ne + 1)), jnp.float32)
     fe = jnp.asarray(rng.standard_normal((2, ne + 1, ne + 1)), jnp.float32)
+    fex, fey = ple.pad(fe)
 
-    @jax.jit
-    def el_loop(u_, f_):
-        def body(u_, _):
-            return elastic_mod.relax(elev, u_, f_, 1), None
-        return jax.lax.scan(body, u_, None, length=30)[0]
+    def el_sweep_time(lengths=(32, 160)):
+        def make(length):
+            @jax.jit
+            def loop(a, b, c, d):
+                def body(carry, _):
+                    (ax, ay), (bx, by) = carry
+                    o1, _ = ple.sweep(ax, ay, fex, fey, dst=(bx, by))
+                    o2, _ = ple.sweep(o1[0], o1[1], fex, fey, dst=(ax, ay))
+                    return (o2, o1), None
+                (aa, bb), _ = jax.lax.scan(body, ((a, b), (c, d)), None,
+                                           length=length)
+                return aa[0], aa[1], bb[0], bb[1]
+            return loop
 
-    eu = el_loop(ue, fe)
-    jax.block_until_ready(eu)
-    t0 = time.time()
-    eu = el_loop(eu, fe)
-    jax.block_until_ready(eu)
-    elastic_sweep_us = (time.time() - t0) / 30 * 1e6
+        ts = {}
+        for length in lengths:
+            loop = make(length)
+            args = loop(*ple.pad(ue), ple.zeros(), ple.zeros())
+            jax.block_until_ready(args[0])
+            best = np.inf
+            for _ in range(3):
+                t0 = time.time()
+                args = loop(*args)
+                jax.block_until_ready(args[0])
+                best = min(best, time.time() - t0)
+            ts[length] = best
+        return (ts[lengths[1]] - ts[lengths[0]]) / (2 * (lengths[1] - lengths[0]))
+
+    elastic_sweep_us = el_sweep_time() * 1e6
+
+    # --- elastic MG V(2,2) per-cycle rate at 2049^2 (PallasElasticMG) ---
+    emg = elastic_mod.PallasElasticMG(
+        ne, E_, nu_, inclusion=("circle", (0.0, 0.0), 0.5),
+        coefficients=(1.0, 20.0), pallas_threshold=512, rows=64)
+    ue0 = jax.random.normal(jax.random.PRNGKey(1), (2, ne + 1, ne + 1),
+                            jnp.float32)
+    fe0 = jnp.zeros((2, ne + 1, ne + 1), jnp.float32)
+    ts_e = {}
+    for mc in (4, 12):
+        emg.solve(fe0, u0=ue0, nu1=2, nu2=2, eps=0.0, max_cycles=mc)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            _, he = emg.solve(fe0, u0=ue0, nu1=2, nu2=2, eps=0.0,
+                              max_cycles=mc)
+            best = min(best, time.time() - t0)
+        ts_e[mc] = best
+    elastic_cycle_ms = (ts_e[12] - ts_e[4]) / 8 * 1e3
+    elastic_q = float((he[-1] / he[4]) ** (1.0 / (len(he) - 5)))
 
     # --- H-MG: V-cycles with the learned H-Net smoother at 4097^2 ---
     # (fused whole-solve, solvers/hmg.py; our own trained H-Net params)
@@ -214,6 +258,8 @@ def main():
         "heat_sweep_us_4097_bimaterial": heat_sweep_us,
         "heat_march_ms_per_step_4097": heat_march_ms,
         "elastic_sweep_us_2049_bimaterial": elastic_sweep_us,
+        "elastic_mg_ms_per_cycle_2049": elastic_cycle_ms,
+        "elastic_mg_q_v22": elastic_q,
         "hmg_4097_solve_s": t_hmg,
         "hmg_4097_cycles": len(hh),
         "hmg_4097_final_res": float(hh[-1]),

@@ -93,6 +93,29 @@ def main():
                                  f, 0.0, 2.0 / 3.0)
         errs[f"zpsweep_{tag}"] = _rel(p.unpad(u3z), want_z)
 
+    # elastic block-Jacobi sweep (ops/pallas_elastic.py) vs XLA block ops
+    from multigrid_feanet_tpu.ops import elasticity as el
+    from multigrid_feanet_tpu.ops import stencil
+    from multigrid_feanet_tpu.ops.pallas_elastic import PallasElasticLevel
+
+    E_, nu_ = 212e3, 0.288
+    phase = (rng.random((n, n)) < 0.4).astype(np.int8)
+    pid = jnp.asarray(stencil.pattern_ids_np(phase))
+    geo = np.zeros((H, H), np.float32)
+    geo[1:-1, 1:-1] = 1
+    geo = jnp.asarray(geo)
+    ue = jnp.asarray(rng.standard_normal((2, H, H)), jnp.float32) * geo[None]
+    fe = jnp.asarray(rng.standard_normal((2, H, H)), jnp.float32)
+    table = el.make_elastic_stencil_table(E_, nu_, 1.0, (1.0, 20.0))
+    dinv = el.invert_2x2(el.block_diagonal(table, pid))
+    want_e = el.jacobi_step_elastic(table, pid, dinv, geo, ue, fe)
+    ple = PallasElasticLevel(n, E_, nu_, phase=phase, coefficients=(1.0, 20.0),
+                             rows=64, interpret=False)
+    ex, ey = ple.pad(ue)
+    fx, fy = ple.pad(fe)
+    (gx, gy), _ = ple.sweep(ex, ey, fx, fy)
+    errs["elastic_sweep"] = _rel(ple.unpad(gx, gy), want_e)
+
     ok = all(e < TOL for e in errs.values())
     print(json.dumps({"ok": ok, "tol": TOL, "device": dev,
                       **{k: round(v, 9) for k, v in errs.items()}}))

@@ -53,19 +53,32 @@ def build_elastic_hierarchy(n: int, E: float = 1.0, nu: float = 0.3, size: float
     for l in range(L):
         nl = n >> l
         h = size / nl
+        # assembled host-side (numpy) — eager device ops pay one XLA compile
+        # per (op, level shape) on a remote TPU (see core/problem.py)
         table = el.make_elastic_stencil_table(E, nu, h, coefficients, plane, dtype)
+        table_np = np.asarray(jax.device_get(table), np.float64)
         if inclusion is None:
-            pid = None
+            pid_np, pid = None, None
+            db = np.broadcast_to(table_np[0, 1, 1], (nl + 1, nl + 1, 2, 2))
         else:
             kind, center, radius = inclusion
             phase_fn = geometry.circle_phase if kind == "circle" else geometry.rect_phase
-            pid = scalar_stencil.pattern_ids(jnp.asarray(phase_fn(size, nl, center, radius)))
+            pid_np = scalar_stencil.pattern_ids_np(phase_fn(size, nl, center, radius))
+            pid = jnp.asarray(pid_np)
+            db = table_np[:, 1, 1][pid_np]  # (H, W, 2, 2)
+        a = db[..., 0, 0]
+        b = db[..., 0, 1]
+        c = db[..., 1, 0]
+        d = db[..., 1, 1]
+        det = a * d - b * c
+        dinv_np = np.stack([np.stack([d, -b], -1),
+                            np.stack([-c, a], -1)], -2) / det[..., None, None]
         geo = geometry.interior_mask(nl + 1, dtype=dtype)
-        dblocks = el.block_diagonal(table, pid, shape=(nl + 1, nl + 1))
         a0, a1 = (float(coefficients[0]), float(coefficients[1])) if pid is not None else (None, None)
         levels.append(
             ElasticLevel(n=nl, h=h, E=float(E), nu=float(nu), plane=plane, a0=a0, a1=a1,
-                         table=table, pid=pid, geo=geo, dinv=el.invert_2x2(dblocks))
+                         table=table, pid=pid, geo=geo,
+                         dinv=jnp.asarray(dinv_np, dtype))
         )
     return tuple(levels)
 
@@ -103,27 +116,31 @@ def v_cycle(levels, u, f, nu1: int = 1, nu2: int = 1, bc_value=0.0, omega=2.0 / 
     return relax(lv, u, f, nu2, bc, omega)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "nu1", "nu2", "omega"))
+def _run_chunk(levels, u, f, k: int, nu1: int, nu2: int, omega: float):
+    # module-level so the jit cache survives across solve() calls (a
+    # closure-jitted chunk runner recompiles per solve — ~70 s/solve at
+    # 2049^2 through the remote-TPU tunnel)
+    def body(u, _):
+        u = v_cycle(levels, u, f, nu1, nu2, omega=omega)
+        res = el.elastic_interior_norm(f - levels[0].apply(u))
+        return u, res
+
+    return jax.lax.scan(body, u, None, length=k)
+
+
 def solve(levels, f, u0=None, nu1: int = 2, nu2: int = 2, eps: float = 1e-8,
           max_cycles: int = 400, chunk: int = 8, omega=2.0 / 3.0):
     """Chunked-scan elastic V-cycle solve; returns (u, residual history)."""
     if u0 is None:
         u0 = jnp.zeros_like(f)
 
-    @functools.partial(jax.jit, static_argnames=("k", "nu1", "nu2"))
-    def run_chunk(u, f, k: int, nu1: int, nu2: int):
-        def body(u, _):
-            u = v_cycle(levels, u, f, nu1, nu2, omega=omega)
-            res = el.elastic_interior_norm(f - levels[0].apply(u))
-            return u, res
-
-        return jax.lax.scan(body, u, None, length=k)
-
     u = u0
     hist = []
     done = 0
     while done < max_cycles:
         k = min(chunk, max_cycles - done)
-        u, norms = run_chunk(u, f, k, nu1, nu2)
+        u, norms = _run_chunk(levels, u, f, k, nu1, nu2, float(omega))
         norms = jax.device_get(norms)
         hist.append(norms)
         done += k
@@ -133,3 +150,128 @@ def solve(levels, f, u0=None, nu1: int = 2, nu2: int = 2, eps: float = 1e-8,
         if not np.isfinite(norms[-1]):
             break
     return u, np.concatenate(hist)
+
+
+class PallasElasticMG:
+    """Elastic V-cycle whose levels with ``n >= pallas_threshold`` smooth
+    with the fused Pallas block-Jacobi kernel (ops/pallas_elastic.py).
+
+    Fine levels keep both displacement components resident in the kernel's
+    ghost-block layout across the whole cycle (sweeps and residuals read and
+    write padded buffers directly; only the per-level transfer hop unpads —
+    single-axis strided slices, cheap); the subtree below the threshold runs
+    the XLA ``v_cycle``.  Cycle math identical to ``v_cycle``: relax nu1 ->
+    f_c = 4 FW(residual) per component -> recurse from zero -> masked
+    bilinear prolongation-add -> relax nu2.  The solve's convergence test
+    rides the free pre-update residual norm of each cycle's first sweep
+    (same protocol as solvers/pallas_mg2.py)."""
+
+    def __init__(self, n: int, E: float = 1.0, nu: float = 0.3,
+                 size: float = 2.0, inclusion=None, coefficients=(1.0, 1.0),
+                 plane: str = "stress", num_levels: Optional[int] = None,
+                 pallas_threshold: int = 512, rows: int = 64,
+                 omega: float = 2.0 / 3.0, interpret: Optional[bool] = None):
+        from multigrid_feanet_tpu.ops.pallas_elastic import PallasElasticLevel
+
+        self.levels = build_elastic_hierarchy(
+            n, E, nu, size, inclusion, coefficients, plane, num_levels)
+        self.omega = float(omega)
+        L = len(self.levels)
+        K = 0
+        while K < L - 1 and self.levels[K].n >= pallas_threshold:
+            K += 1
+        assert K >= 1, "finest level below pallas_threshold - use solve()"
+        self.K = K
+        self.pl = []
+        for l in range(K):
+            nl = self.levels[l].n
+            if inclusion is None:
+                phase = None
+            else:
+                kind, center, radius = inclusion
+                phase_fn = (geometry.circle_phase if kind == "circle"
+                            else geometry.rect_phase)
+                phase = phase_fn(size, nl, center, radius)
+            self.pl.append(PallasElasticLevel(
+                nl, E, nu, stride=1, phase=phase, coefficients=coefficients,
+                plane=plane, omega=omega, rows=rows if nl >= 1024 else 32,
+                interpret=interpret))
+        self._compiled = {}
+
+    def _cycle(self, l: int, ub, sb, fb, nu1: int, nu2: int):
+        """One V(nu1, nu2) level-l cycle on padded buffer pairs ``ub``
+        (iterate), ``sb`` (spare), ``fb`` (RHS).  Returns (u, spare, rsq)
+        with rsq the pre-update residual norm^2 of the incoming iterate."""
+        p, lv = self.pl[l], self.levels[l]
+        cur, spare, rsq = ub, sb, None
+        for _ in range(nu1):
+            out, r = p.sweep(cur[0], cur[1], fb[0], fb[1], dst=spare)
+            rsq = r if rsq is None else rsq
+            cur, spare = out, cur
+        (rx, ry), _ = p.residual(cur[0], cur[1], fb[0], fb[1], dst=spare)
+        f_c = 4.0 * restrict_full_weighting(p.unpad(rx, ry))
+        if l + 1 < self.K:
+            pc = self.pl[l + 1]
+            fcb = pc.pad(f_c)
+            zb = (pc.zeros(), pc.zeros())
+            zb2 = (pc.zeros(), pc.zeros())
+            ucb, _, _ = self._cycle(l + 1, zb, zb2, fcb, nu1, nu2)
+            u_c = pc.unpad(*ucb)
+        else:
+            u_c = v_cycle(self.levels, jnp.zeros_like(f_c), f_c, nu1, nu2,
+                          0.0, self.omega, l + 1)
+        corr = prolong_bilinear(u_c, lv.geo)
+        cx, cy = p.pad(corr)
+        cur = (cur[0] + cx, cur[1] + cy)
+        for _ in range(nu2):
+            cur, spare = p.sweep(cur[0], cur[1], fb[0], fb[1],
+                                 dst=spare)[0], cur
+        return cur, spare, rsq
+
+    def solve(self, f, u0=None, bc_value=None, nu1: int = 2, nu2: int = 2,
+              eps: float = 1e-8, max_cycles: int = 100, chunk: int = 1):
+        """V-cycle solve to interior residual ``eps`` (both components).
+        Same free-residual semantics as PallasHierarchyV2.solve: history[j]
+        is the residual after cycle j+1, the returned u includes one extra
+        cycle, and with nu1 + nu2 odd each cycle pays one buffer copy."""
+        lv0, p0 = self.levels[0], self.pl[0]
+        if u0 is None:
+            u0 = jnp.zeros_like(f)
+        gm = lv0.geo[None]
+        u0 = u0 * gm + (0.0 if bc_value is None else bc_value) * (1.0 - gm)
+
+        key = (nu1, nu2, float(eps), max_cycles, chunk)
+        if key not in self._compiled:
+
+            @jax.jit
+            def run(u0_, f_):
+                ub = p0.pad(u0_)
+                sb = (p0.zeros(), p0.zeros())
+                fb = p0.pad(f_)
+                hist0 = jnp.full((max_cycles + chunk,), -1.0, jnp.float32)
+
+                def cond(c):
+                    ub, sb, k, res, hist = c
+                    return (res > eps) & (k < max_cycles)
+
+                def body(c):
+                    ub, sb, k, res, hist = c
+                    for _ in range(chunk):
+                        ub, sb, rsq = self._cycle(0, ub, sb, fb, nu1, nu2)
+                        res = jnp.sqrt(rsq).astype(jnp.float32)
+                        hist = hist.at[k].set(res)
+                        k = k + 1
+                    return (ub, sb, k, res, hist)
+
+                ub, sb, k, res, hist = jax.lax.while_loop(
+                    cond, body,
+                    (ub, sb, jnp.int32(0), jnp.float32(jnp.inf), hist0))
+                return p0.unpad(*ub), hist
+
+            self._compiled[key] = run
+        u, hist = self._compiled[key](u0, f)
+        vals = np.asarray(hist)
+        k = int(np.sum(vals >= 0.0))
+        below = np.nonzero(vals[:k] <= eps)[0]
+        c = int(below[0]) if below.size else k - 1
+        return u, vals[1 : c + 1]
