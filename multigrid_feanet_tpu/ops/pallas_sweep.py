@@ -1275,19 +1275,25 @@ class PallasLevel:
 
     def psweep(self, u_pad, f_pad, uc_pad, R_up: Optional[int] = None, dst=None,
                vmem_mb: Optional[int] = None, uh=None, uch=None, bnd=None,
-               ph_pad=None, own_rows=None):
+               ph_pad=None, own_rows=None, omega: Optional[float] = None):
         """Fused (u += prolong(u_c); one Jacobi sweep) -> (u_new, rsq).
         ``uc_pad``: the coarse level's buffer (stride 2s, ghost R_up rows).
         ``uch``: (8, Wp) coarse halo strip (row 7 = coarse row -1, row 0 =
-        coarse row Hp/2) for sharded execution."""
+        coarse row Hp/2) for sharded execution.  ``omega`` overrides the
+        level's damping; ``omega=0.0`` makes the trailing sweep the
+        identity, i.e. a pure masked prolongation-add (used by solvers
+        whose post-smoother is not plain Jacobi, e.g. H-MG)."""
         if dst is None:
             dst = self.zeros()
+        cfg = self._cfg()
+        if omega is not None:
+            cfg["omega"] = float(omega)
         return _run_sweep(u_pad, f_pad,
                           self.ph_pad if ph_pad is None else ph_pad,
                           uc_pad, dst, uh, uch, bnd,
                           mode="sweep", R_up=int(R_up if R_up is not None else self.Rc),
                           vmem_mb=(vmem_mb if vmem_mb is not None else self.vmem_mb),
-                          own_rows=own_rows, **self._cfg())
+                          own_rows=own_rows, **cfg)
 
     def sweep_restrict(self, u_pad, f_pad, dst=None, uh=None, fh=None,
                        phh=None, bnd=None, out_rows: Optional[int] = None,

@@ -92,3 +92,155 @@ def solve(hier: GridHierarchy, params, f, u0=None, bc_value=0.0,
     vals = np.asarray(hist)
     k = int(np.sum(vals >= 0.0))
     return u, vals[:k]
+
+
+class PallasHMG:
+    """H-MG with the fused Pallas H-relax smoother at every level with
+    n >= pallas_threshold (ops/pallas_hrelax.py): hrelax -> fused
+    residual+restriction -> recurse -> prolongation-add (psweep with
+    omega=0, i.e. no trailing Jacobi) -> hrelax.  Below the threshold the
+    XLA subtree runs the same cycle with hnet.h_relax and interior-masked
+    residual transfers; the coarsest level is relax-only (the reference's
+    treatment) unless ``direct_coarse``.
+
+    NOTE the transfer convention: residuals are interior-masked, the
+    library-wide convention (core solvers, PallasHierarchyV2) — hmg.solve
+    above instead reproduces the reference notebook's unmasked-residual
+    quirk exactly (mg_test cell 19).  Cycle counts may differ by ~1.
+    Convergence test: the free pre-relax residual norm from each cycle's
+    first hrelax (same protocol as PallasHierarchyV2.solve, including the
+    one-extra-cycle semantics on the returned u)."""
+
+    def __init__(self, problem, num_levels=None, pallas_threshold: int = 256,
+                 rows: int = 64, rows_coarse: int = 32,
+                 coarse_rows_below: int = 1024, omega=None,
+                 interpret=None, direct_coarse: bool = False):
+        from multigrid_feanet_tpu.core.problem import GridHierarchy
+        from multigrid_feanet_tpu.ops.pallas_sweep import PallasLevel
+
+        self.hier = GridHierarchy.create(problem, num_levels)
+        self.omega = float(omega if omega is not None else jacobi.DEFAULT_OMEGA)
+        levels = self.hier.levels
+        L = len(levels)
+        K = 0
+        while K < L - 1 and levels[K].n >= pallas_threshold:
+            K += 1
+        assert K >= 1
+        self.K = K
+
+        def _rows_for(n_level):
+            return rows if n_level >= coarse_rows_below else rows_coarse
+
+        Wp = None
+        self.pl = []
+        for l in range(min(K + 1, L)):
+            lv = levels[l]
+            phase = problem.phase(lv.n) if lv.pid is not None else None
+            p = PallasLevel(lv.n, stride=1 << l, phase=phase,
+                            coefficients=problem.coefficients,
+                            omega=self.omega, Wp=Wp, rows=_rows_for(lv.n),
+                            rows_next=_rows_for(levels[l + 1].n)
+                            if l + 1 < L else _rows_for(lv.n),
+                            interpret=interpret)
+            Wp = p.Wp
+            self.pl.append(p)
+        self.coarse_inv = None
+        if direct_coarse and L > 1:
+            from multigrid_feanet_tpu.solvers import coarse as _coarse
+
+            self.coarse_inv = _coarse.coarse_inverse(levels[-1])
+        self._compiled = {}
+
+    def _xla_hcycle(self, l, u, f, params):
+        levels = self.hier.levels
+        L = len(levels)
+        lv = levels[l]
+        if l == L - 1 and l > 0 and self.coarse_inv is not None:
+            from multigrid_feanet_tpu.solvers.coarse import coarse_solve
+
+            return coarse_solve(self.coarse_inv, f).astype(f.dtype)
+        u = hnet.h_relax(lv, params, u, f, 1, 0.0, self.omega)
+        if l < L - 1:
+            r = (f - lv.apply(u)) * lv.geo
+            f_c = 4.0 * restrict_full_weighting(r)
+            u_c = self._xla_hcycle(l + 1, jnp.zeros_like(f_c), f_c, params)
+            u = u + prolong_bilinear(u_c, lv.geo)
+        return hnet.h_relax(lv, params, u, f, 1, 0.0, self.omega)
+
+    def _coarse_correction(self, l, fcb, params):
+        from multigrid_feanet_tpu.ops.pallas_hrelax import hrelax
+
+        if l < self.K:
+            p = self.pl[l]
+            cur, _ = hrelax(p, p.zeros(), fcb, params, dst=p.zeros())
+            fcc, _ = p.restrict_residual(cur, fcb)
+            uc = self._coarse_correction(l + 1, fcc, params)
+            cur2, _ = p.psweep(cur, fcb, uc, omega=0.0)
+            out, _ = hrelax(p, cur2, fcb, params, dst=cur)
+            return out
+        p = self.pl[l]
+        f_plain = p.unpad(fcb)
+        u_plain = self._xla_hcycle(l, jnp.zeros_like(f_plain), f_plain, params)
+        return p.pad(u_plain)
+
+    def _cycle0(self, u, sp, fb, params):
+        from multigrid_feanet_tpu.ops.pallas_hrelax import hrelax
+
+        p = self.pl[0]
+        u1, rsq = hrelax(p, u, fb, params, dst=sp)
+        u, sp = u1, u
+        fc, _ = p.restrict_residual(u, fb)
+        uc = self._coarse_correction(1, fc, params)
+        u2, _ = p.psweep(u, fb, uc, omega=0.0, dst=sp)
+        u, sp = u2, u
+        u3, _ = hrelax(p, u, fb, params, dst=sp)
+        # three kernel passes at level 0 per cycle: buffers swap slots; the
+        # while_loop pays one copy per cycle (~0.4 ms at 4097^2) — fusing
+        # the prolongation-add into hrelax would remove it (future work)
+        return u3, u, rsq
+
+    def solve(self, params, f, u0=None, bc_value=0.0, eps: float = 5e-5,
+              max_cycles: int = 100):
+        """One-dispatch H-MG solve; returns (u, history) with the same
+        free-residual conventions as PallasHierarchyV2.solve."""
+        from multigrid_feanet_tpu.core.geometry import reset_boundary
+
+        lv0, p0 = self.hier.finest, self.pl[0]
+        H = lv0.n_nodes
+        if u0 is None:
+            u0 = jnp.zeros((H, H), p0.dtype)
+        u0 = reset_boundary(u0, lv0.geo, bc_value)
+        params = jnp.asarray(params, jnp.float32)
+
+        key = (float(eps), max_cycles)
+        if key not in self._compiled:
+
+            @jax.jit
+            def run(u0_plain, f_plain, params):
+                u = p0.pad(u0_plain)
+                sp = p0.zeros()
+                fb = p0.pad(f_plain)
+                hist0 = jnp.full((max_cycles,), -1.0, jnp.float32)
+
+                def cond(c):
+                    u, sp, k, res, hist = c
+                    return (res > eps) & (k < max_cycles)
+
+                def body(c):
+                    u, sp, k, res, hist = c
+                    u, sp, rsq = self._cycle0(u, sp, fb, params)
+                    res = jnp.sqrt(rsq).astype(jnp.float32)
+                    return (u, sp, k + 1, res, hist.at[k].set(res))
+
+                u, sp, k, res, hist = jax.lax.while_loop(
+                    cond, body,
+                    (u, sp, jnp.int32(0), jnp.float32(jnp.inf), hist0))
+                return p0.unpad(u), hist
+
+            self._compiled[key] = run
+        u, hist = self._compiled[key](u0, f, params)
+        vals = np.asarray(hist)
+        k = int(np.sum(vals >= 0.0))
+        below = np.nonzero(vals[:k] <= eps)[0]
+        c = int(below[0]) if below.size else k - 1
+        return u, vals[1 : c + 1]
