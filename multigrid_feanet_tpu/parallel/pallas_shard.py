@@ -51,6 +51,7 @@ from jax import shard_map
 
 from multigrid_feanet_tpu.core.geometry import reset_boundary
 from multigrid_feanet_tpu.core.problem import Problem
+from multigrid_feanet_tpu.solvers.common import trim_history
 from multigrid_feanet_tpu.solvers.pallas_mg2 import PallasHierarchyV2
 from multigrid_feanet_tpu.solvers.jacobi import DEFAULT_OMEGA
 
@@ -404,8 +405,4 @@ class ShardedPallasHierarchyV2:
 
             self._compiled[key] = run
         u, hist = self._compiled[key](u0, f)
-        vals = np.asarray(hist)
-        k = int(np.sum(vals >= 0.0))
-        below = np.nonzero(vals[:k] <= eps)[0]
-        c = int(below[0]) if below.size else k - 1
-        return u, vals[1 : c + 1]
+        return u, trim_history(hist, eps)

@@ -20,6 +20,7 @@ from multigrid_feanet_tpu.core import geometry
 from multigrid_feanet_tpu.ops import elasticity as el
 from multigrid_feanet_tpu.ops import stencil as scalar_stencil
 from multigrid_feanet_tpu.ops.transfer import restrict_full_weighting, prolong_bilinear
+from multigrid_feanet_tpu.solvers.common import trim_history
 
 
 @struct.dataclass
@@ -270,8 +271,4 @@ class PallasElasticMG:
 
             self._compiled[key] = run
         u, hist = self._compiled[key](u0, f)
-        vals = np.asarray(hist)
-        k = int(np.sum(vals >= 0.0))
-        below = np.nonzero(vals[:k] <= eps)[0]
-        c = int(below[0]) if below.size else k - 1
-        return u, vals[1 : c + 1]
+        return u, trim_history(hist, eps)

@@ -25,6 +25,7 @@ from multigrid_feanet_tpu.core.problem import GridHierarchy
 from multigrid_feanet_tpu.models import hnet
 from multigrid_feanet_tpu.ops.transfer import restrict_full_weighting, prolong_bilinear
 from multigrid_feanet_tpu.solvers import jacobi
+from multigrid_feanet_tpu.solvers.common import instance_cache, trim_history
 
 
 def _cycle(hier, params, u, f, bc_value, mode, nu1, nu2, level=0):
@@ -50,9 +51,6 @@ def _cycle(hier, params, u, f, bc_value, mode, nu1, nu2, level=0):
     return relax(u, nu2)
 
 
-_COMPILED = {}
-
-
 def solve(hier: GridHierarchy, params, f, u0=None, bc_value=0.0,
           nu1: int = 1, nu2: int = 1, eps: float = 5e-5,
           max_cycles: int = 100, mode: str = "hjac"):
@@ -66,8 +64,9 @@ def solve(hier: GridHierarchy, params, f, u0=None, bc_value=0.0,
     if u0 is None:
         u0 = jnp.zeros_like(f)
 
-    key = (id(hier), mode, nu1, nu2, float(eps), max_cycles, f.shape)
-    if key not in _COMPILED:
+    compiled = instance_cache(hier)
+    key = (mode, nu1, nu2, float(eps), max_cycles, f.shape)
+    if key not in compiled:
 
         @jax.jit
         def run(u, params, f, bc_value):
@@ -87,8 +86,11 @@ def solve(hier: GridHierarchy, params, f, u0=None, bc_value=0.0,
                 cond, body, (u, jnp.int32(0), jnp.float32(jnp.inf), hist0))
             return u, hist
 
-        _COMPILED[key] = run
-    u, hist = _COMPILED[key](u0, params, f, jnp.asarray(bc_value, f.dtype))
+        compiled[key] = run
+    u, hist = compiled[key](u0, params, f, jnp.asarray(bc_value, f.dtype))
+    # POST-cycle residuals here (no free-residual lag): hist[k] = residual
+    # after cycle k+1 directly, so the trim is a plain sentinel cut and the
+    # returned u has exactly len(history) cycles (no extra).
     vals = np.asarray(hist)
     k = int(np.sum(vals >= 0.0))
     return u, vals[:k]
@@ -239,8 +241,4 @@ class PallasHMG:
 
             self._compiled[key] = run
         u, hist = self._compiled[key](u0, f, params)
-        vals = np.asarray(hist)
-        k = int(np.sum(vals >= 0.0))
-        below = np.nonzero(vals[:k] <= eps)[0]
-        c = int(below[0]) if below.size else k - 1
-        return u, vals[1 : c + 1]
+        return u, trim_history(hist, eps)

@@ -47,6 +47,7 @@ from multigrid_feanet_tpu.core.problem import Problem, GridHierarchy
 from multigrid_feanet_tpu.ops.pallas_sweep import PallasLevel
 from multigrid_feanet_tpu.ops.transfer import restrict_full_weighting, prolong_bilinear
 from multigrid_feanet_tpu.solvers import jacobi as jac
+from multigrid_feanet_tpu.solvers.common import trim_history
 from multigrid_feanet_tpu.solvers.jacobi import DEFAULT_OMEGA
 
 
@@ -293,11 +294,7 @@ class PallasHierarchyV2:
 
                 self._compiled[key] = run_ps
             u, hist = self._compiled[key](u0, f)
-            vals = np.asarray(hist)
-            k = int(np.sum(vals >= 0.0))
-            below = np.nonzero(vals[:k] <= eps)[0]
-            c = int(below[0]) if below.size else k - 1
-            return u, vals[1 : c + 1]
+            return u, trim_history(hist, eps)
 
         key = ("solve", nu1, nu2, float(eps), max_cycles, chunk)
         if key not in self._compiled:
@@ -334,8 +331,4 @@ class PallasHierarchyV2:
         u, hist = self._compiled[key](u0, f)
         # ONE host fetch: derive the cycle count from the history itself.
         # hist[i] = residual after i cycles (hist[0] = initial residual).
-        vals = np.asarray(hist)
-        k = int(np.sum(vals >= 0.0))
-        below = np.nonzero(vals[:k] <= eps)[0]
-        c = int(below[0]) if below.size else k - 1
-        return u, vals[1 : c + 1]
+        return u, trim_history(hist, eps)
