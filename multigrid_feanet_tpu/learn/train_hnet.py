@@ -137,6 +137,119 @@ def train_elastic(level, dataset, *, num_epochs: int = 100, batch_size: int = 5,
     return state.params, np.asarray(losses)
 
 
+# ---- error-decay (spectral) training of the H-MG smoother ----
+#
+# The reference trains its H-Net standalone (k relax sweeps -> dataset
+# solution MSE) at 129^2 and only then drops it into V-cycles; round 3
+# showed that smoother HURTS at 4097^2 (30 cycles vs plain MG's 23).  The
+# TPU-first fix trains THROUGH the V-cycle on the f=0 error-decay protocol
+# (the reference's own convergence measure, MM_Model_convergence.ipynb
+# cells 3/5): with f = 0 the exact solution is 0, cycles act on the error
+# directly, and the loss  mean log(r_m / r_{m-1})  is a differentiable
+# surrogate of log q — no dataset, any grid size, multi-size in one loss
+# for scale robustness.
+
+
+def _hjac_vcycle(hier, params, u, f, omega=2.0 / 3.0):
+    """One V(1,1) cycle with the H-relax smoother at every level —
+    identical math to solvers/hmg.py::PallasHMG's cycle (interior-masked
+    residual transfers, relax-only coarsest)."""
+    from multigrid_feanet_tpu.ops.transfer import (
+        restrict_full_weighting, prolong_bilinear)
+
+    def cycle(level, u, ff):
+        lv = hier.levels[level]
+        u = hnet.h_relax(lv, params, u, ff, 1, 0.0, omega)
+        if level < hier.num_levels - 1:
+            r = (ff - lv.apply(u)) * lv.geo
+            f_c = 4.0 * restrict_full_weighting(r)
+            u_c = cycle(level + 1, jnp.zeros_like(f_c), f_c)
+            u = u + prolong_bilinear(u_c, lv.geo)
+        return hnet.h_relax(lv, params, u, ff, 1, 0.0, omega)
+
+    return cycle(0, u, f)
+
+
+def make_decay_step(hiers, *, m: int = 5, batch: int = 2,
+                    learning_rate: float = 3e-3, warm: int = 2):
+    """Build (init_state, step) for multi-size error-decay training.
+
+    ``hiers``: list of GridHierarchy (different finest n, shared params).
+    Per step and size: draw ``batch`` random errors, run ``m`` V(1,1)
+    H-MG cycles, loss = mean over the last ``m - warm`` cycles of
+    log(r_k / r_{k-1}) (asymptotic-q surrogate; the first ``warm`` cycles
+    absorb the transient).  Returns scalar loss ~ log q.
+    """
+    from multigrid_feanet_tpu.solvers import jacobi as jac
+
+    tx = optax.adam(learning_rate)
+
+    def init_fn(seed: int = 0, num_layers: int = 3, params=None):
+        key = jax.random.PRNGKey(seed)
+        kp, key = jax.random.split(key)
+        if params is None:
+            params = hnet.init_params(kp, num_layers)
+        return TrainState(params, tx.init(params), key)
+
+    def loss_fn(params, key):
+        total = 0.0
+        for hier in hiers:
+            lv0 = hier.finest
+            H = lv0.n_nodes
+            key, ku = jax.random.split(key)
+            u0 = jax.random.normal(ku, (batch, H, H)) * lv0.geo
+            f = jnp.zeros((H, H))
+
+            def body(u, _):
+                u = jax.vmap(lambda x: _hjac_vcycle(hier, params, x, f))(u)
+                r = jax.vmap(lambda x: jac.interior_norm(lv0.apply(x)))(u)
+                return u, r
+
+            u0r = jax.vmap(lambda x: jac.interior_norm(lv0.apply(x)))(u0)
+            _, rs = jax.lax.scan(body, u0, None, length=m)
+            logs = jnp.log(jnp.concatenate([u0r[None], rs], axis=0) + 1e-30)
+            ratios = logs[1:] - logs[:-1]  # (m, batch) per-cycle log q
+            total = total + jnp.mean(ratios[warm:])
+        return total / len(hiers)
+
+    @jax.jit
+    def step(state: TrainState):
+        key, ks = jax.random.split(state.key)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, ks)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, key), loss
+
+    return init_fn, step
+
+
+def measure_q(hier, params, *, m: int = 10, seed: int = 0, mode="hjac",
+              omega=2.0 / 3.0):
+    """Asymptotic per-cycle convergence factor of the (H-)MG V(1,1) cycle
+    on the f=0 decay protocol: geometric mean of the last 3 ratios."""
+    from multigrid_feanet_tpu.solvers import jacobi as jac
+    from multigrid_feanet_tpu.solvers.multigrid import v_cycle
+
+    lv0 = hier.finest
+    H = lv0.n_nodes
+    u = jax.random.normal(jax.random.PRNGKey(seed), (H, H),
+                          jnp.float32) * lv0.geo
+    f = jnp.zeros((H, H), jnp.float32)
+
+    @jax.jit
+    def run(u):
+        def body(u, _):
+            if mode == "hjac":
+                u = _hjac_vcycle(hier, params, u, f, omega)
+            else:
+                u = v_cycle(hier, u, f, 1, 1)
+            return u, jac.interior_norm(lv0.apply(u))
+        return jax.lax.scan(body, u, None, length=m)[1]
+
+    rs = np.asarray(run(u))
+    return float(np.exp(np.mean(np.diff(np.log(rs + 1e-30))[-3:]))), rs
+
+
 def train(level: Level, dataset, *, num_epochs: int = 100, batch_size: int = 5,
           seed: int = 0, k_max: int = 20, log_every: int = 50, verbose: bool = True,
           ckpt_dir: str | None = None, ckpt_every: int = 1):

@@ -170,36 +170,34 @@ class PallasHMG:
         return hnet.h_relax(lv, params, u, f, 1, 0.0, self.omega)
 
     def _coarse_correction(self, l, fcb, params):
-        from multigrid_feanet_tpu.ops.pallas_hrelax import hrelax
+        """Level-l error-equation solve from zero: zero-initial-guess fused
+        descent (zhswrr, 7 B/node) + recurse + zero-initial-guess fused
+        ascent (zphrelax, 11 B/node) — plain-MG coarse-leg traffic with the
+        learned smoother riding for free in the bandwidth-bound kernels."""
+        from multigrid_feanet_tpu.ops.pallas_hrelax import zhswrr, zphrelax
 
         if l < self.K:
             p = self.pl[l]
-            cur, _ = hrelax(p, p.zeros(), fcb, params, dst=p.zeros())
-            fcc, _ = p.restrict_residual(cur, fcb)
+            fcc = zhswrr(p, fcb, params)
             uc = self._coarse_correction(l + 1, fcc, params)
-            cur2, _ = p.psweep(cur, fcb, uc, omega=0.0)
-            out, _ = hrelax(p, cur2, fcb, params, dst=cur)
-            return out
+            return zphrelax(p, fcb, uc, params)
         p = self.pl[l]
         f_plain = p.unpad(fcb)
         u_plain = self._xla_hcycle(l, jnp.zeros_like(f_plain), f_plain, params)
         return p.pad(u_plain)
 
     def _cycle0(self, u, sp, fb, params):
-        from multigrid_feanet_tpu.ops.pallas_hrelax import hrelax
+        """TWO fused kernel passes at level 0 per V(1,1) cycle (was four in
+        round 3): hswrr (hrelax + residual + restriction) and phrelax
+        (prolongation-add + hrelax).  Even pass count -> the donation
+        ping-pong returns both buffers to their while-carry slots."""
+        from multigrid_feanet_tpu.ops.pallas_hrelax import hswrr, phrelax
 
         p = self.pl[0]
-        u1, rsq = hrelax(p, u, fb, params, dst=sp)
-        u, sp = u1, u
-        fc, _ = p.restrict_residual(u, fb)
+        u1, fc, rsq = hswrr(p, u, fb, params, dst=sp)
         uc = self._coarse_correction(1, fc, params)
-        u2, _ = p.psweep(u, fb, uc, omega=0.0, dst=sp)
-        u, sp = u2, u
-        u3, _ = hrelax(p, u, fb, params, dst=sp)
-        # three kernel passes at level 0 per cycle: buffers swap slots; the
-        # while_loop pays one copy per cycle (~0.4 ms at 4097^2) — fusing
-        # the prolongation-add into hrelax would remove it (future work)
-        return u3, u, rsq
+        u3 = phrelax(p, u1, fb, uc, params, dst=u)
+        return u3, u1, rsq
 
     def solve(self, params, f, u0=None, bc_value=0.0, eps: float = 5e-5,
               max_cycles: int = 100):

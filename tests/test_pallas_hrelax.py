@@ -82,3 +82,58 @@ def test_pallas_hmg_matches_xla_cycles():
     # cycle-for-cycle residual parity at f32 accuracy (early cycles)
     for j in range(min(m, 6)):
         assert abs(h1[j] - h2[j]) / h1[j] < 1e-3, (j, h1[j], h2[j])
+
+
+@pytest.mark.parametrize("bim", [False, True], ids=["hom", "bim"])
+def test_fused_hmg_legs_match_compositions(bim):
+    """The four round-4 fused H-MG leg kernels (ops/pallas_hrelax.py:
+    hswrr / phrelax / zhswrr / zphrelax) are bit-exact against compositions
+    of the individually-verified hrelax / restrict_residual / psweep
+    kernels in interpret mode."""
+    from multigrid_feanet_tpu.core import geometry
+    from multigrid_feanet_tpu.ops import pallas_hrelax as phx
+
+    rng = np.random.default_rng(0)
+    n = 64
+    phase = geometry.circle_phase(2.0, n) if bim else None
+    p = PallasLevel(n, stride=1, phase=phase, rows=32, rows_next=32,
+                    interpret=True)
+    pc = PallasLevel(n // 2, stride=2,
+                     phase=geometry.circle_phase(2.0, n // 2) if bim else None,
+                     Wp=p.Wp, rows=32, rows_next=32, interpret=True)
+    params = jnp.asarray(rng.standard_normal((3, 3, 3)) * 0.1, jnp.float32)
+    u = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    uc = jnp.asarray(rng.standard_normal((n // 2 + 1, n // 2 + 1)), jnp.float32)
+    ub, fb, ucb = p.pad(u), p.pad(f), pc.pad(uc)
+
+    # hswrr == hrelax ; restrict_residual
+    u1_ref, rsq_ref = phx.hrelax(p, ub, fb, params)
+    fc_ref, _ = p.restrict_residual(u1_ref, fb)
+    u1, fc, rsq = phx.hswrr(p, ub, fb, params)
+    np.testing.assert_array_equal(np.asarray(p.unpad(u1)),
+                                  np.asarray(p.unpad(u1_ref)))
+    np.testing.assert_array_equal(np.asarray(pc.unpad(fc)),
+                                  np.asarray(pc.unpad(fc_ref)))
+    assert abs(float(rsq) - float(rsq_ref)) <= 1e-5 * float(rsq_ref)
+
+    # phrelax == psweep(omega=0) ; hrelax
+    u2_ref, _ = p.psweep(ub, fb, ucb, omega=0.0)
+    u3_ref, _ = phx.hrelax(p, u2_ref, fb, params)
+    u3 = phx.phrelax(p, ub, fb, ucb, params)
+    np.testing.assert_array_equal(np.asarray(p.unpad(u3)),
+                                  np.asarray(p.unpad(u3_ref)))
+
+    # zhswrr == hrelax(0) ; restrict_residual
+    z1_ref, _ = phx.hrelax(p, p.zeros(), fb, params)
+    zfc_ref, _ = p.restrict_residual(z1_ref, fb)
+    zfc = phx.zhswrr(p, fb, params)
+    np.testing.assert_array_equal(np.asarray(pc.unpad(zfc)),
+                                  np.asarray(pc.unpad(zfc_ref)))
+
+    # zphrelax == hrelax(0) ; psweep(omega=0) ; hrelax
+    z2_ref, _ = p.psweep(z1_ref, fb, ucb, omega=0.0)
+    z3_ref, _ = phx.hrelax(p, z2_ref, fb, params)
+    z3 = phx.zphrelax(p, fb, ucb, params)
+    np.testing.assert_array_equal(np.asarray(p.unpad(z3)),
+                                  np.asarray(p.unpad(z3_ref)))
