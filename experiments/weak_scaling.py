@@ -57,15 +57,26 @@ from multigrid_feanet_tpu.parallel.pallas_shard import ShardedPallasHierarchyV2
 
 def comm_model(sh: ShardedPallasHierarchyV2, nu1=1, nu2=1,
                bw_gbps=45.0, lat_us=1.5):
-    """Per-cycle comm bytes / collective count / predicted efficiency."""
+    """Per-cycle comm bytes / collective count / predicted efficiency.
+
+    Exchange counts mirror parallel/pallas_shard.py exactly and are pinned
+    to the compiled HLO of the solve's while body by
+    tests/test_comm_budget.py: the fine level runs nu1 + nu2 u-halo
+    exchanges per cycle (its f exchange is peeled, once per solve); each
+    zero-initial-guess coarse level runs 1 (fcb) + (nu2 - 1) + 1 (finished
+    correction) exchanges — its pre-smoothed iterate is never exchanged
+    because zero-guess halos are zeros; the agglomerated subtree is one
+    all_gather; the free-residual convergence test is one psum."""
     Wp = sh.Wp
-    n_coll, bytes_total = 0, 0
-    for l in range(sh.S):
-        n_ex = (nu1 - 1) + 1 + 1 + (nu2 - 1) + 1  # u sweeps, fcb, psweep
-        n_coll += 2 * n_ex  # two ppermutes per exchange
-        bytes_total += n_ex * 5 * Wp * 4
+    n_ex_fine = nu1 + nu2
+    n_ex_coarse = (nu2 + 1) if nu1 == 1 else (nu1 + nu2 + 1)
+    n_ex = n_ex_fine + n_ex_coarse * (sh.S - 1)
+    n_coll = 2 * n_ex  # two ppermutes per exchange
+    bytes_total = n_ex * 5 * Wp * 4
     n_coll += 1  # agglomeration all_gather
     bytes_total += sh.Hloc[sh.S] * Wp * 4
+    n_coll += 1  # free-residual psum (the convergence test's all-reduce)
+    bytes_total += 4
     t_comm_us = n_coll * lat_us + bytes_total / (bw_gbps * 1e3)
     return {"collectives_per_cycle": n_coll,
             "comm_bytes_per_cycle": bytes_total,
@@ -103,8 +114,10 @@ def main(rows_per_shard=128, cycles=4):
         if base_t is None:
             base_t = t_cyc
         model = comm_model(sh)
+        # NOT a performance measurement: N virtual CPU devices time-share
+        # the host under interpret-mode kernels (VERDICT r3 #5b)
         row = {"nx": nx, "n": n, "S": sh.S, "t_cycle_s": t_cyc,
-               "efficiency_measured": base_t / t_cyc, **model}
+               "efficiency_cpu_structural_only": base_t / t_cyc, **model}
         out["rows"].append(row)
         print(json.dumps(row), flush=True)
 

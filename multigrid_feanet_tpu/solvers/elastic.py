@@ -154,24 +154,29 @@ def solve(levels, f, u0=None, nu1: int = 2, nu2: int = 2, eps: float = 1e-8,
 
 
 class PallasElasticMG:
-    """Elastic V-cycle whose levels with ``n >= pallas_threshold`` smooth
-    with the fused Pallas block-Jacobi kernel (ops/pallas_elastic.py).
+    """Elastic V-cycle on the round-4 fused legs: every level with
+    ``n >= pallas_threshold`` runs sweep_restrict / psweep (and the
+    zero-initial-guess zsweep_restrict / zpsweep on coarse error
+    equations), with stride-lane coarse layouts exactly as the scalar
+    PallasHierarchyV2 — no pad/unpad or XLA transfer pass between Pallas
+    levels (the round-3 cycle's dominant cost).  Below the threshold the
+    XLA ``v_cycle`` subtree runs in compact layout, with an optional exact
+    dense-inverse solve at the coarsest level (``direct_coarse``,
+    solvers/coarse.py::coarse_inverse_elastic).
 
-    Fine levels keep both displacement components resident in the kernel's
-    ghost-block layout across the whole cycle (sweeps and residuals read and
-    write padded buffers directly; only the per-level transfer hop unpads —
-    single-axis strided slices, cheap); the subtree below the threshold runs
-    the XLA ``v_cycle``.  Cycle math identical to ``v_cycle``: relax nu1 ->
-    f_c = 4 FW(residual) per component -> recurse from zero -> masked
-    bilinear prolongation-add -> relax nu2.  The solve's convergence test
-    rides the free pre-update residual norm of each cycle's first sweep
-    (same protocol as solvers/pallas_mg2.py)."""
+    Cycle math identical to ``v_cycle``: relax nu1 -> f_c = 4 FW(residual)
+    per component -> recurse from zero -> bilinear prolongation-add ->
+    relax nu2.  The solve's convergence test rides the free pre-update
+    residual norm of each cycle's first sweep (shared protocol,
+    solvers/common.py)."""
 
     def __init__(self, n: int, E: float = 1.0, nu: float = 0.3,
                  size: float = 2.0, inclusion=None, coefficients=(1.0, 1.0),
                  plane: str = "stress", num_levels: Optional[int] = None,
                  pallas_threshold: int = 512, rows: int = 64,
-                 omega: float = 2.0 / 3.0, interpret: Optional[bool] = None):
+                 rows_coarse: int = 32, coarse_rows_below: int = 1024,
+                 omega: float = 2.0 / 3.0, interpret: Optional[bool] = None,
+                 direct_coarse: bool = False):
         from multigrid_feanet_tpu.ops.pallas_elastic import PallasElasticLevel
 
         self.levels = build_elastic_hierarchy(
@@ -183,48 +188,109 @@ class PallasElasticMG:
             K += 1
         assert K >= 1, "finest level below pallas_threshold - use solve()"
         self.K = K
-        self.pl = []
-        for l in range(K):
-            nl = self.levels[l].n
+
+        def _rows_for(n_level):
+            return rows if n_level >= coarse_rows_below else rows_coarse
+
+        def _phase(nl):
             if inclusion is None:
-                phase = None
-            else:
-                kind, center, radius = inclusion
-                phase_fn = (geometry.circle_phase if kind == "circle"
-                            else geometry.rect_phase)
-                phase = phase_fn(size, nl, center, radius)
+                return None
+            kind, center, radius = inclusion
+            phase_fn = (geometry.circle_phase if kind == "circle"
+                        else geometry.rect_phase)
+            return phase_fn(size, nl, center, radius)
+
+        Wp = None
+        self.pl = []
+        for l in range(min(K + 1, L)):
+            nl = self.levels[l].n
             self.pl.append(PallasElasticLevel(
-                nl, E, nu, stride=1, phase=phase, coefficients=coefficients,
-                plane=plane, omega=omega, rows=rows if nl >= 1024 else 32,
+                nl, E, nu, stride=1 << l, phase=_phase(nl),
+                coefficients=coefficients, plane=plane, omega=omega, Wp=Wp,
+                rows=_rows_for(nl),
+                rows_next=(_rows_for(self.levels[l + 1].n)
+                           if l + 1 < L else _rows_for(nl)),
                 interpret=interpret))
+            Wp = self.pl[-1].Wp
+        self.coarse_inv = None
+        if direct_coarse and L > 1:
+            from multigrid_feanet_tpu.solvers.coarse import coarse_inverse_elastic
+
+            self.coarse_inv = coarse_inverse_elastic(self.levels[-1])
         self._compiled = {}
 
+    def _xla_vcycle(self, l: int, u, f, nu1: int, nu2: int):
+        """Compact-layout subtree below the Pallas threshold (identical to
+        ``v_cycle``), with the optional exact coarsest solve."""
+        from multigrid_feanet_tpu.solvers.coarse import coarse_solve_elastic
+
+        lv = self.levels[l]
+        L = len(self.levels)
+        if l == L - 1 and l > 0 and self.coarse_inv is not None:
+            return coarse_solve_elastic(self.coarse_inv, f).astype(f.dtype)
+        u = relax(lv, u, f, nu1, 0.0, self.omega)
+        if l < L - 1:
+            r = f - lv.apply(u)
+            f_c = 4.0 * restrict_full_weighting(r)
+            u_c = self._xla_vcycle(l + 1, jnp.zeros_like(f_c), f_c, nu1, nu2)
+            u = u + prolong_bilinear(u_c, lv.geo)
+        return relax(lv, u, f, nu2, 0.0, self.omega)
+
+    def _coarse_correction(self, l: int, fcx, fcy, nu1: int, nu2: int):
+        """Level-l error-equation solve from zero on padded coarse RHS
+        buffers; returns the level-l solution buffer pair."""
+        if l < self.K:
+            p = self.pl[l]
+            if nu1 == 1:
+                fccx, fccy = p.zsweep_restrict(fcx, fcy)
+                uc = self._coarse_correction(l + 1, fccx, fccy, nu1, nu2)
+                cur = p.zpsweep(fcx, fcy, uc[0], uc[1])
+                spare = None
+                for _ in range(nu2 - 1):
+                    spare = ((p.zeros(), p.zeros())
+                             if spare is None else spare)
+                    cur, spare = p.sweep(cur[0], cur[1], fcx, fcy,
+                                         dst=spare)[0], cur
+                return cur
+            cur, spare = (p.zeros(), p.zeros()), (p.zeros(), p.zeros())
+            for _ in range(nu1 - 1):
+                cur, spare = p.sweep(cur[0], cur[1], fcx, fcy,
+                                     dst=spare)[0], cur
+            ux1, uy1, fccx, fccy, _ = p.sweep_restrict(
+                cur[0], cur[1], fcx, fcy, dst=spare)
+            cur, spare = (ux1, uy1), cur
+            uc = self._coarse_correction(l + 1, fccx, fccy, nu1, nu2)
+            cur, spare = p.psweep(cur[0], cur[1], fcx, fcy, uc[0], uc[1],
+                                  dst=spare), cur
+            for _ in range(nu2 - 1):
+                cur, spare = p.sweep(cur[0], cur[1], fcx, fcy,
+                                     dst=spare)[0], cur
+            return cur
+        p = self.pl[l]
+        f_plain = p.unpad(fcx, fcy)
+        u_plain = self._xla_vcycle(l, jnp.zeros_like(f_plain), f_plain,
+                                   nu1, nu2)
+        return p.pad(u_plain)
+
     def _cycle(self, l: int, ub, sb, fb, nu1: int, nu2: int):
-        """One V(nu1, nu2) level-l cycle on padded buffer pairs ``ub``
-        (iterate), ``sb`` (spare), ``fb`` (RHS).  Returns (u, spare, rsq)
-        with rsq the pre-update residual norm^2 of the incoming iterate."""
-        p, lv = self.pl[l], self.levels[l]
+        """One V(nu1, nu2) cycle at level 0 on padded buffer pairs;
+        nu1 + nu2 fused passes -> even schedules keep the donation
+        ping-pong copy-free.  Returns (u, spare, rsq) with rsq the
+        pre-update residual norm^2 of the incoming iterate."""
+        p = self.pl[l]
         cur, spare, rsq = ub, sb, None
-        for _ in range(nu1):
+        for _ in range(nu1 - 1):
             out, r = p.sweep(cur[0], cur[1], fb[0], fb[1], dst=spare)
             rsq = r if rsq is None else rsq
             cur, spare = out, cur
-        (rx, ry), _ = p.residual(cur[0], cur[1], fb[0], fb[1], dst=spare)
-        f_c = 4.0 * restrict_full_weighting(p.unpad(rx, ry))
-        if l + 1 < self.K:
-            pc = self.pl[l + 1]
-            fcb = pc.pad(f_c)
-            zb = (pc.zeros(), pc.zeros())
-            zb2 = (pc.zeros(), pc.zeros())
-            ucb, _, _ = self._cycle(l + 1, zb, zb2, fcb, nu1, nu2)
-            u_c = pc.unpad(*ucb)
-        else:
-            u_c = v_cycle(self.levels, jnp.zeros_like(f_c), f_c, nu1, nu2,
-                          0.0, self.omega, l + 1)
-        corr = prolong_bilinear(u_c, lv.geo)
-        cx, cy = p.pad(corr)
-        cur = (cur[0] + cx, cur[1] + cy)
-        for _ in range(nu2):
+        ux1, uy1, fcx, fcy, r = p.sweep_restrict(cur[0], cur[1], fb[0],
+                                                 fb[1], dst=spare)
+        rsq = r if rsq is None else rsq
+        cur, spare = (ux1, uy1), cur
+        uc = self._coarse_correction(l + 1, fcx, fcy, nu1, nu2)
+        cur, spare = p.psweep(cur[0], cur[1], fb[0], fb[1], uc[0], uc[1],
+                              dst=spare), cur
+        for _ in range(nu2 - 1):
             cur, spare = p.sweep(cur[0], cur[1], fb[0], fb[1],
                                  dst=spare)[0], cur
         return cur, spare, rsq
