@@ -272,6 +272,40 @@ def main():
     copy_peak = mb.copy_gbps(rows_total=lv_bi.Hp, Wp=lv_bi.Wp, R=64)
     triad = mb.triad_gbps(rows_total=lv_bi.Hp, Wp=lv_bi.Wp, R=64)
 
+    # --- periodic (torus) fused sweep at 4096^2 (ops/pallas_torus.py) ---
+    from multigrid_feanet_tpu.ops.pallas_torus import PallasTorusLevel
+
+    tl = PallasTorusLevel(n, rows=64)
+    fpb = tl.pad(f[:n, :n])
+
+    def torus_time(lengths=(64, 320)):
+        def make(length):
+            @jax.jit
+            def loop(a, b):
+                def body(c, _):
+                    a, b = c
+                    x, _ = tl.sweep(a, fpb, dst=b)
+                    y, _ = tl.sweep(x, fpb, dst=a)
+                    return (y, x), None
+                return jax.lax.scan(body, (a, b), None, length=length)[0]
+            return loop
+
+        ts = {}
+        for length in lengths:
+            loop = make(length)
+            a, b = loop(tl.pad(u[:n, :n]), tl.zeros())
+            jax.block_until_ready(a)
+            best = np.inf
+            for _ in range(3):
+                t0 = time.time()
+                a, b = loop(a, b)
+                jax.block_until_ready(a)
+                best = min(best, time.time() - t0)
+            ts[length] = best
+        return (ts[lengths[1]] - ts[lengths[0]]) / (2 * (lengths[1] - lengths[0]))
+
+    torus_us = torus_time() * 1e6
+
     result = {
         "metric": "jacobi_sweep_nnz_per_s_4097sq_bimaterial_v2",
         "value": rate_bi,
@@ -302,6 +336,7 @@ def main():
         "effective_hbm_gbps_bimaterial": 13 * lv_bi.Hp * lv_bi.Wp / dt_bi / 1e9,
         "measured_copy_peak_gbps": copy_peak,
         "measured_triad_gbps": triad,
+        "torus_sweep_us_4096": torus_us,
         "sweep_vs_copy_peak": (13 * lv_bi.Hp * lv_bi.Wp / dt_bi / 1e9)
         / copy_peak,
         "device": str(jax.devices()[0]),

@@ -177,3 +177,97 @@ def train_step_error_decay(hier: GridHierarchy, state: TrainState, batch_shape_k
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, key), loss
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shapes", "m", "m0", "n_relax", "lr"),
+    donate_argnums=(1,),
+)
+def train_step_decay_multisize(hiers, state: TrainState, *, shapes,
+                               m: int = 10, m0: int = 5, n_relax: int = 1,
+                               lr: float = 1e-3):
+    """Multi-size f = 0 error-decay step for the inter-grid operator
+    (round 4, VERDICT r3 #4).
+
+    The round-3 joint-trained operator won in-distribution at its training
+    size (n=16) but DIVERGED when transplanted to n=64 — the single-size
+    q_m loss is blind to modes that only amplify at other scales (the same
+    failure all 4 divergent reference checkpoints show,
+    results/intergrid_budget/REPORT.md).  This step sums the q_m decay
+    loss over several grid sizes in one update, the control that made the
+    H-Net smoother scale-stable (learn/train_hnet.py::make_decay_step).
+
+    ``hiers``: tuple of GridHierarchy (traced pytrees); ``shapes``: static
+    matching (N, H, W) batch shapes.  All channels train jointly; w frozen.
+    """
+    key = state.key
+    tx = make_optimizer(lr)
+    ks = jax.random.split(key, len(shapes) + 1)
+
+    def loss_fn(params):
+        total = 0.0
+        for hier, shape, k in zip(hiers, shapes, ks[1:]):
+            f = jnp.zeros(shape, jnp.float32)
+            v0 = jax.random.normal(k, shape, jnp.float32)
+            u, u_m0 = v0, v0
+            for i in range(m - 1):
+                u = jax.lax.stop_gradient(
+                    intergrid.learned_v_cycle(hier, params, u, f, n_relax))
+                if i == m0 - 1:
+                    u_m0 = u
+            u_final = intergrid.learned_v_cycle(hier, params, u, f, n_relax)
+            total = total + intergrid.qm_loss(hier, u_final, u_m0, f, m, m0)
+        return total / len(shapes)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    mask = _grad_mask(state.params, None)
+    grads = jax.tree.map(lambda g, mk: g * mk, grads, mask)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, ks[0]), loss
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shapes", "m", "m0", "n_relax", "lr"),
+    donate_argnums=(1,),
+)
+def train_step_rhs_multisize(hiers, state: TrainState, F_batches, *, shapes,
+                             m: int = 10, m0: int = 6, n_relax: int = 1,
+                             lr: float = 3e-4):
+    """Multi-size RHS-protocol q_m step targeting the ASYMPTOTIC regime.
+
+    Same structure as the reference's train_step (random constant-scaled
+    init, detached early cycles) but (a) summed over several grid sizes in
+    one update (scale robustness) and (b) with the detach point moved to
+    m0 = 6 of m = 10: the reference trains on cycles 2-6 (the transient)
+    while its own mgTest evaluator scores cycles 6-9 (the asymptote) —
+    optimizing the window the evaluator actually measures.
+    ``F_batches``: per-size RHS batches matching ``shapes``."""
+    key = state.key
+    tx = make_optimizer(lr)
+    ks = jax.random.split(key, len(shapes) + 1)
+
+    def loss_fn(params):
+        total = 0.0
+        for hier, F, shape, k in zip(hiers, F_batches, shapes, ks[1:]):
+            lv = hier.finest
+            f = stencil.apply_mass(F, lv.h)
+            v0 = random_constant_field(k, shape, jnp.float32)
+            u, u_m0 = v0, v0
+            for i in range(m - 1):
+                u = jax.lax.stop_gradient(
+                    intergrid.learned_v_cycle(hier, params, u, f, n_relax))
+                if i == m0 - 1:
+                    u_m0 = u
+            u_final = intergrid.learned_v_cycle(hier, params, u, f, n_relax)
+            total = total + intergrid.qm_loss(hier, u_final, u_m0, f, m, m0)
+        return total / len(shapes)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    mask = _grad_mask(state.params, None)
+    grads = jax.tree.map(lambda g, mk: g * mk, grads, mask)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, ks[0]), loss
