@@ -150,28 +150,43 @@ def train_elastic(level, dataset, *, num_epochs: int = 100, batch_size: int = 5,
 # for scale robustness.
 
 
-def _hjac_vcycle(hier, params, u, f, omega=2.0 / 3.0):
-    """One V(1,1) cycle with the H-relax smoother at every level —
-    identical math to solvers/hmg.py::PallasHMG's cycle (interior-masked
-    residual transfers, relax-only coarsest)."""
+def _hjac_vcycle(hier, params, u, f, omega=2.0 / 3.0, h_levels=None):
+    """One V(1,1) cycle with the H-relax smoother on levels < ``h_levels``
+    (None = every level) and plain weighted Jacobi below — identical math
+    to solvers/hmg.py::PallasHMG's cycle (interior-masked residual
+    transfers, relax-only coarsest).  ``h_levels=1`` is the TPU-efficient
+    configuration: the fused H legs are VPU-compute-bound, so confining the
+    learned correction to the fine level (where the error lives after
+    coarse-grid correction) keeps most of the convergence gain at a
+    fraction of the per-cycle cost."""
     from multigrid_feanet_tpu.ops.transfer import (
         restrict_full_weighting, prolong_bilinear)
+    from multigrid_feanet_tpu.solvers.jacobi import jacobi_step
+
+    hl = hier.num_levels if h_levels is None else h_levels
+
+    def rel(level, u, ff):
+        if level < hl:
+            return hnet.h_relax(hier.levels[level], params, u, ff, 1, 0.0,
+                                omega)
+        return jacobi_step(hier.levels[level], u, ff, 0.0, omega)
 
     def cycle(level, u, ff):
         lv = hier.levels[level]
-        u = hnet.h_relax(lv, params, u, ff, 1, 0.0, omega)
+        u = rel(level, u, ff)
         if level < hier.num_levels - 1:
             r = (ff - lv.apply(u)) * lv.geo
             f_c = 4.0 * restrict_full_weighting(r)
             u_c = cycle(level + 1, jnp.zeros_like(f_c), f_c)
             u = u + prolong_bilinear(u_c, lv.geo)
-        return hnet.h_relax(lv, params, u, ff, 1, 0.0, omega)
+        return rel(level, u, ff)
 
     return cycle(0, u, f)
 
 
 def make_decay_step(hiers, *, m: int = 5, batch: int = 2,
-                    learning_rate: float = 3e-3, warm: int = 2):
+                    learning_rate: float = 3e-3, warm: int = 2,
+                    h_levels=None):
     """Build (init_state, step) for multi-size error-decay training.
 
     ``hiers``: list of GridHierarchy (different finest n, shared params).
@@ -201,7 +216,8 @@ def make_decay_step(hiers, *, m: int = 5, batch: int = 2,
             f = jnp.zeros((H, H))
 
             def body(u, _):
-                u = jax.vmap(lambda x: _hjac_vcycle(hier, params, x, f))(u)
+                u = jax.vmap(lambda x: _hjac_vcycle(
+                    hier, params, x, f, h_levels=h_levels))(u)
                 r = jax.vmap(lambda x: jac.interior_norm(lv0.apply(x)))(u)
                 return u, r
 
@@ -224,7 +240,7 @@ def make_decay_step(hiers, *, m: int = 5, batch: int = 2,
 
 
 def measure_q(hier, params, *, m: int = 10, seed: int = 0, mode="hjac",
-              omega=2.0 / 3.0):
+              omega=2.0 / 3.0, h_levels=None):
     """Asymptotic per-cycle convergence factor of the (H-)MG V(1,1) cycle
     on the f=0 decay protocol: geometric mean of the last 3 ratios."""
     from multigrid_feanet_tpu.solvers import jacobi as jac
@@ -240,7 +256,7 @@ def measure_q(hier, params, *, m: int = 10, seed: int = 0, mode="hjac",
     def run(u):
         def body(u, _):
             if mode == "hjac":
-                u = _hjac_vcycle(hier, params, u, f, omega)
+                u = _hjac_vcycle(hier, params, u, f, omega, h_levels)
             else:
                 u = v_cycle(hier, u, f, 1, 1)
             return u, jac.interior_norm(lv0.apply(u))

@@ -116,11 +116,23 @@ class PallasHMG:
     def __init__(self, problem, num_levels=None, pallas_threshold: int = 256,
                  rows: int = 64, rows_coarse: int = 32,
                  coarse_rows_below: int = 1024, omega=None,
-                 interpret=None, direct_coarse: bool = False):
+                 interpret=None, direct_coarse: bool = False,
+                 h_levels=None, coarse_zero_legs: bool = True):
+        """``h_levels``: apply the H-relax smoother on levels < h_levels and
+        plain weighted Jacobi below (None = every level; params must be
+        trained for the chosen prefix — learn/train_hnet.make_decay_step
+        ``h_levels``).  ``coarse_zero_legs=False`` routes H coarse levels
+        through hswrr-from-zero + phrelax instead of the zero-guess
+        zhswrr/zphrelax: more HBM traffic but one conv chain fewer per
+        ascent, which measures FASTER on chip (docs/kernel_notes_r4.md
+        finding 2 — the deep-window z-legs are compute-bound)."""
         from multigrid_feanet_tpu.core.problem import GridHierarchy
         from multigrid_feanet_tpu.ops.pallas_sweep import PallasLevel
 
         self.hier = GridHierarchy.create(problem, num_levels)
+        self.h_levels = (self.hier.num_levels if h_levels is None
+                         else int(h_levels))
+        self.coarse_zero_legs = bool(coarse_zero_legs)
         self.omega = float(omega if omega is not None else jacobi.DEFAULT_OMEGA)
         levels = self.hier.levels
         L = len(levels)
@@ -161,26 +173,42 @@ class PallasHMG:
             from multigrid_feanet_tpu.solvers.coarse import coarse_solve
 
             return coarse_solve(self.coarse_inv, f).astype(f.dtype)
-        u = hnet.h_relax(lv, params, u, f, 1, 0.0, self.omega)
+
+        def rel(u):
+            if l < self.h_levels:
+                return hnet.h_relax(lv, params, u, f, 1, 0.0, self.omega)
+            return jacobi.jacobi_step(lv, u, f, 0.0, self.omega)
+
+        u = rel(u)
         if l < L - 1:
             r = (f - lv.apply(u)) * lv.geo
             f_c = 4.0 * restrict_full_weighting(r)
             u_c = self._xla_hcycle(l + 1, jnp.zeros_like(f_c), f_c, params)
             u = u + prolong_bilinear(u_c, lv.geo)
-        return hnet.h_relax(lv, params, u, f, 1, 0.0, self.omega)
+        return rel(u)
 
     def _coarse_correction(self, l, fcb, params):
         """Level-l error-equation solve from zero: zero-initial-guess fused
         descent (zhswrr, 7 B/node) + recurse + zero-initial-guess fused
         ascent (zphrelax, 11 B/node) — plain-MG coarse-leg traffic with the
         learned smoother riding for free in the bandwidth-bound kernels."""
-        from multigrid_feanet_tpu.ops.pallas_hrelax import zhswrr, zphrelax
+        from multigrid_feanet_tpu.ops.pallas_hrelax import (
+            hswrr, phrelax, zhswrr, zphrelax)
 
         if l < self.K:
             p = self.pl[l]
-            fcc = zhswrr(p, fcb, params)
+            if l >= self.h_levels:
+                # plain-Jacobi zero-guess legs below the H prefix
+                fcc = p.zsweep_restrict(fcb)
+                uc = self._coarse_correction(l + 1, fcc, params)
+                return p.zpsweep(fcb, uc)
+            if self.coarse_zero_legs:
+                fcc = zhswrr(p, fcb, params)
+                uc = self._coarse_correction(l + 1, fcc, params)
+                return zphrelax(p, fcb, uc, params)
+            u1, fcc, _ = hswrr(p, p.zeros(), fcb, params, dst=p.zeros())
             uc = self._coarse_correction(l + 1, fcc, params)
-            return zphrelax(p, fcb, uc, params)
+            return phrelax(p, u1, fcb, uc, params)
         p = self.pl[l]
         f_plain = p.unpad(fcb)
         u_plain = self._xla_hcycle(l, jnp.zeros_like(f_plain), f_plain, params)

@@ -137,3 +137,37 @@ def test_fused_hmg_legs_match_compositions(bim):
     z3 = phx.zphrelax(p, fb, ucb, params)
     np.testing.assert_array_equal(np.asarray(p.unpad(z3)),
                                   np.asarray(p.unpad(z3_ref)))
+
+
+@pytest.mark.parametrize("hl,zl", [(2, True), (2, False), (None, False)],
+                         ids=["hl2_zero", "hl2_nonzero", "all_nonzero"])
+def test_pallas_hmg_h_levels_variants(hl, zl):
+    """PallasHMG's h_levels prefix / coarse-leg flavor options match the
+    XLA cycle with the same smoother placement."""
+    from multigrid_feanet_tpu.core.problem import Problem, GridHierarchy
+    from multigrid_feanet_tpu.learn.train_hnet import _hjac_vcycle
+    from multigrid_feanet_tpu.solvers.hmg import PallasHMG
+    from multigrid_feanet_tpu.solvers.jacobi import interior_norm
+
+    rng = np.random.default_rng(1)
+    n = 64
+    prob = Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5),
+                   dtype=jnp.float32)
+    hier = GridHierarchy.create(prob)
+    params = jnp.asarray(rng.standard_normal((3, 3, 3)) * 0.05, jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    mg = PallasHMG(prob, pallas_threshold=16, rows=32, interpret=True,
+                   h_levels=hl, coarse_zero_legs=zl)
+    u2, h2 = mg.solve(params, f, eps=1e-3, max_cycles=25)
+    u = jnp.zeros((n + 1, n + 1), jnp.float32)
+    hist = []
+    for _ in range(len(h2)):
+        u = _hjac_vcycle(hier, params, u, f, 2.0 / 3.0, hl)
+        hist.append(float(interior_norm(f - hier.finest.apply(u))))
+    h1 = np.asarray(hist)
+    h2 = np.asarray(h2)
+    assert len(h2) < 25
+    # early cycles at f32 accuracy; later entries drift with summation
+    # order as residuals shrink
+    np.testing.assert_allclose(h2[:5], h1[:5], rtol=2e-4)
+    assert np.max(np.abs(h2 - h1) / h1) < 1e-2
