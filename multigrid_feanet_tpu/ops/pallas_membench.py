@@ -5,8 +5,9 @@ bandwidth this chip actually achieves under the same execution structure —
 an automatic-pipeline Pallas kernel streaming (R, Wp) f32 blocks.  This
 module provides that anchor:
 
-- ``copy_gbps``: out[...] = in[...] (8 B/node: one read + one write) — the
-  achievable streaming peak for the sweep's block shape.
+- ``copy_gbps``: out = in + 1 (8 B/node: one read + one write; the +1
+  defeats value-level result caching) — the achievable streaming peak for
+  the sweep's block shape.
 - ``triad_gbps``: out = a + 0.5 * b (12 B/node: two reads + one write) —
   the Jacobi sweep's exact stream count, zero stencil math, so the gap
   between triad and the sweep is pure in-kernel compute/window overhead.
@@ -30,7 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _copy_kernel(src_ref, dst_ref, out_ref):
-    out_ref[...] = src_ref[...]
+    # +1.0 keeps the stream structure of a pure copy while making every
+    # iteration's values distinct — a value-preserving chain would let the
+    # remote tunnel serve repeated calls from cache (see copy_gbps note)
+    out_ref[...] = src_ref[...] + 1.0
 
 
 def _triad_kernel(a_ref, b_ref, dst_ref, out_ref):
@@ -95,11 +99,18 @@ def _scan_time(loop, args, lengths):
 def copy_gbps(rows_total: int = 4160, Wp: int = 4224, R: int = 64,
               lengths=(64, 320), interpret=None) -> float:
     """Measured streaming bandwidth (GB/s, read + write) of the pure-copy
-    kernel at the production sweep's block shape."""
+    kernel at the production sweep's block shape.
+
+    Buffers are RANDOM, not zeros: the remote-TPU tunnel elides repeated
+    pure calls on value-identical inputs (measured: a 128-copy scan of
+    zero buffers "completes" in 50 us), so constant inputs benchmark the
+    cache, not the chip."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    a = jnp.zeros((rows_total, Wp), jnp.float32)
-    b = jnp.zeros((rows_total, Wp), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (rows_total, Wp), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(1), (rows_total, Wp),
+                          jnp.float32)
 
     def loop(length):
         @jax.jit
@@ -121,9 +132,9 @@ def triad_gbps(rows_total: int = 4160, Wp: int = 4224, R: int = 64,
     """Measured bandwidth (GB/s, 2 reads + 1 write) of the triad kernel."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    a = jnp.zeros((rows_total, Wp), jnp.float32)
-    b = jnp.zeros((rows_total, Wp), jnp.float32)
-    c = jnp.zeros((rows_total, Wp), jnp.float32)
+    a = jax.random.normal(jax.random.PRNGKey(0), (rows_total, Wp), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(1), (rows_total, Wp), jnp.float32)
+    c = jax.random.normal(jax.random.PRNGKey(2), (rows_total, Wp), jnp.float32)
 
     def loop(length):
         @jax.jit

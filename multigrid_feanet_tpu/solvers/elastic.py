@@ -338,3 +338,106 @@ class PallasElasticMG:
             self._compiled[key] = run
         u, hist = self._compiled[key](u0, f)
         return u, trim_history(hist, eps)
+
+
+# ---- Krylov acceleration (round 4) -------------------------------------
+# Defined as module functions and attached to PallasElasticMG below so the
+# class body above stays the plain-V-cycle core; these are the only
+# out-of-class members.
+
+
+def _emg_apply(self, px, py):
+    """A p on padded buffers via the fused residual kernel with f = 0
+    (returns interior-masked -(-A p) = A p)."""
+    p0 = self.pl[0]
+    z = p0.zeros()
+    (rx, ry), _ = p0.residual(px, py, z, z)
+    return -rx, -ry
+
+
+def _emg_solve_pcg(self, f, u0=None, nu1: int = 2, nu2: int = 2,
+                   eps: float = 1e-8, max_iters: int = 60):
+    """Flexible-CG accelerated elastic solve with one fused V(nu1, nu2)
+    cycle as the preconditioner (round 4, VERDICT r3 #3).
+
+    The bi-material interface problem's V-cycle factor degrades with n
+    (bilinear transfers kink across the 20:1 coefficient jump: tail q
+    ~0.43 at 257^2 -> ~0.74 at 2049^2, results/elastic_mg_tpu.json).  The
+    operator is SPD, so Krylov acceleration restores fast convergence:
+    flexible PCG (Polak-Ribiere beta, robust to the mildly nonsymmetric
+    preconditioner) contracts per iteration like ~sqrt of the cycle's
+    error factor.  Whole solve = ONE jitted while_loop; per iteration one
+    fused V-cycle + one fused A-apply + 3 dots on unpadded fields.
+
+    Returns (u, history) with history[j] = interior residual norm after
+    iteration j+1 (POST-iteration residuals, no free-residual lag: the
+    returned u's residual IS history[-1])."""
+    lv0, p0 = self.levels[0], self.pl[0]
+    if u0 is None:
+        u0 = jnp.zeros_like(f)
+    gm = lv0.geo[None]
+    u0 = u0 * gm
+
+    key = ("pcg", nu1, nu2, float(eps), max_iters)
+    if key not in self._compiled:
+
+        def dot(a, b):
+            return jnp.sum(a * b)
+
+        def precond(rx, ry):
+            zb = self._coarse_correction(0, rx, ry, nu1, nu2)
+            return zb
+
+        @jax.jit
+        def run(u0_, f_):
+            ub = p0.pad(u0_)
+            fb = p0.pad(f_)
+            # r = f - A u  (masked, padded)
+            (mrx, mry), rsq0 = p0.residual(ub[0], ub[1], fb[0], fb[1])
+            zb = precond(mrx, mry)
+            pb = zb
+            rz = dot(p0.unpad(*zb), p0.unpad(mrx, mry))
+            hist0 = jnp.full((max_iters,), -1.0, jnp.float32)
+
+            def cond(c):
+                ub, rb, pb, rz, k, res, hist = c
+                return (res > eps) & (k < max_iters)
+
+            def body(c):
+                ub, rb, pb, rz, k, res, hist = c
+                apx, apy = _emg_apply(self, pb[0], pb[1])
+                p_pl = p0.unpad(*pb)
+                pap = dot(p_pl, p0.unpad(apx, apy))
+                alpha = rz / pap
+                ub = (ub[0] + alpha * pb[0], ub[1] + alpha * pb[1])
+                r_old = p0.unpad(*rb)
+                # residual replacement EVERY iteration: at f32 with
+                # |A| ~ 2e5 the r <- r - alpha A p recurrence drifts ~1e-3
+                # absolute within ~10 iterations; the fused residual kernel
+                # recomputes the true r (and its norm, free) in one pass.
+                rb, rsq = p0.residual(ub[0], ub[1], fb[0], fb[1])
+                r_pl = p0.unpad(*rb)
+                res = jnp.sqrt(rsq).astype(jnp.float32)
+                zb = precond(rb[0], rb[1])
+                z_pl = p0.unpad(*zb)
+                # flexible (Polak-Ribiere) beta
+                rz_new = dot(z_pl, r_pl)
+                beta = (rz_new - dot(z_pl, r_old)) / rz
+                pb = (zb[0] + beta * pb[0], zb[1] + beta * pb[1])
+                return (ub, rb, pb, rz_new, k + 1, res,
+                        hist.at[k].set(res))
+
+            ub, rb, pb, rz, k, res, hist = jax.lax.while_loop(
+                cond, body,
+                (ub, (mrx, mry), pb, rz, jnp.int32(0),
+                 jnp.sqrt(rsq0).astype(jnp.float32), hist0))
+            return p0.unpad(*ub), hist
+
+        self._compiled[key] = run
+    u, hist = self._compiled[key](u0, f)
+    vals = np.asarray(hist)
+    return u, vals[: int(np.sum(vals >= 0.0))]
+
+
+PallasElasticMG.apply_fused = _emg_apply
+PallasElasticMG.solve_pcg = _emg_solve_pcg
