@@ -8,10 +8,13 @@ Reference math (M-FEANet-mg_test.ipynb cells 4-5; models/hnet.py):
     x_{l+1} = conv3x3(x_l, k_l) masked to interior     (L layers)
     u  <- jac + x_L
 
-Everything is evaluated in-register on (R + 8)-row windows of the same
-lagged-pipeline ghost-block layout as ops/pallas_sweep.py: each conv layer
-consumes one window row per side, so the kernel reads u rows
-[(i-1)R - 4, iR + 4) to emit rows [(i-1)R, iR).  All intermediate values
+Everything is evaluated in-register on (R + 2(L+1))-row windows of the
+same lagged-pipeline ghost-block layout as ops/pallas_sweep.py: each conv
+layer consumes one window row per side (D = L + 1 rows per side total),
+so the kernel reads u rows [(i-1)R - D, iR + D) to emit rows
+[(i-1)R, iR).  The chain depth L is a static parameter (odd L for the
+prolongation-fused legs); L=1 trades receptive field for ~3x less
+VPU chain compute (docs/kernel_notes_r4.md).  All intermediate values
 pass through ``jnp.where`` SELECTS (never multiplicative masks): scratch
 caches hold garbage on the priming step and out-of-domain diagonals can be
 zero, so any inf/NaN must be select-killed, not multiplied by zero.
@@ -61,58 +64,48 @@ def _hrelax_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, dst_ref, u_out,
     select whose condition excludes non-interior rows).
     ``k_ref``: (L, 3, 3) H-Net conv kernels in SMEM.
     """
+    D = L + 1  # rows consumed per side: 1 (jacobi) + L (conv chain)
     i = pl.program_id(0)
-    row0 = (i - 1) * R - 4  # node row of window row 0
+    row0 = (i - 1) * R - D  # node row of window row 0
     lo, hi = bnd_ref[0], bnd_ref[1]
 
-    uw = jnp.concatenate([ucache[...], u_ref[0:4, :]], axis=0)  # (R+8, Wp)
-    fw = jnp.concatenate([fcache[...], f_ref[0:3, :]], axis=0)  # (R+6, Wp)
+    uw = jnp.concatenate([ucache[...], u_ref[0:D, :]], axis=0)  # (R+2D, Wp)
+    fw = jnp.concatenate([fcache[...], f_ref[0 : D - 1, :]], axis=0)
     if bim:
-        phw = jnp.concatenate([phcache[...], ph_ref[0:3, :]], axis=0)
-        au, C4 = _apply_bim(uw, phw, R + 8, a0, da, s)
+        phw = jnp.concatenate([phcache[...], ph_ref[0 : D - 1, :]], axis=0)
+        au, C4 = _apply_bim(uw, phw, R + 2 * D, a0, da, s)
         d = (2.0 / 3.0) * C4
     else:
-        au, _ = _apply_hom(uw, R + 8, a0, s)
+        au, _ = _apply_hom(uw, R + 2 * D, a0, s)
         d = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
 
-    # jac on node rows [row0 + 1, row0 + R + 7): select-masked (d may be 0
-    # in garbage/ghost element rows -> inf * 0 = NaN under a multiply mask)
-    m_jac = _interior_mask(row0 + 1, R + 6, Wp, lo, hi, W, s)
-    uin = uw[1 : R + 7, :]
+    # jac on node rows [row0 + 1, row0 + R + 2D - 1): select-masked (d may
+    # be 0 in garbage/ghost element rows -> inf * 0 = NaN under a multiply
+    # mask)
+    m_jac = _interior_mask(row0 + 1, R + 2 * D - 2, Wp, lo, hi, W, s)
+    uin = uw[1 : R + 2 * D - 1, :]
     jac = jnp.where(m_jac, uin + (omega / d) * (fw - au), uin)
     x = jnp.where(m_jac, jac - uin, 0.0)
 
     # free pre-update interior residual norm^2 over this step's out rows
     @pl.when(i > 0)
     def _():
-        rm = jnp.where(m_jac, fw - au, 0.0)[3 : R + 3, :]
+        rm = jnp.where(m_jac, fw - au, 0.0)[L : L + R, :]
         rsq_ref[i - 1, 0] = jnp.sum(rm * rm)
 
-    nrows = R + 6
-    base = row0 + 1
-    for l in range(L):
-        xm, xp = _roll_m(x, s), _roll_p(x, s)
-        t = (xm, x, xp)  # lane offsets -s, 0, +s
-        y = None
-        for a in range(3):  # row offset a-1
-            for b in range(3):
-                term = k_ref[l, a, b] * t[b][a : a + nrows - 2, :]
-                y = term if y is None else y + term
-        nrows -= 2
-        base += 1
-        x = jnp.where(_interior_mask(base, nrows, Wp, lo, hi, W, s), y, 0.0)
+    x = _hchain(x, k_ref, L, s, row0 + 1, Wp, lo, hi, W)
 
     # x now covers exactly rows [(i-1)R, iR); jac rows start at row0+1
-    u_out[...] = jac[3 : R + 3, :] + x
+    u_out[...] = jac[L : L + R, :] + x
 
     # roll caches forward
-    ucache[0:4, :] = uw[R : R + 4, :]
-    ucache[4 : R + 4, :] = u_ref[...]
-    fcache[0:3, :] = fw[R : R + 3, :]
-    fcache[3 : R + 3, :] = f_ref[...]
+    ucache[0:D, :] = uw[R : R + D, :]
+    ucache[D : R + D, :] = u_ref[...]
+    fcache[0 : D - 1, :] = fw[R : R + D - 1, :]
+    fcache[D - 1 : R + D - 1, :] = f_ref[...]
     if bim:
-        phcache[0:4, :] = phw[R : R + 4, :]
-        phcache[4 : R + 4, :] = ph_ref[...]
+        phcache[0:D, :] = phw[R : R + D, :]
+        phcache[D : R + D, :] = ph_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -152,9 +145,9 @@ def _run_hrelax(u_pad, f_pad, ph_pad, params, dst, bnd, *, R, H, W, Wp,
             jax.ShapeDtypeStruct((nb, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((R + 4, Wp), jnp.float32),
-            pltpu.VMEM((R + 3, Wp), jnp.float32),
-            pltpu.VMEM((R + 4, Wp), jnp.int8),
+            pltpu.VMEM((R + L + 1, Wp), jnp.float32),
+            pltpu.VMEM((R + L, Wp), jnp.float32),
+            pltpu.VMEM((R + L + 1, Wp), jnp.int8),
         ],
         input_output_aliases={5: 0},
         interpret=interpret,
@@ -297,19 +290,20 @@ def _hswrr_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, dst_ref, u1_out,
       fcache[0 : R+5]  = f rows      [(i-1)R - 5, iR)
       phcache[0 : R+6] = element rows [(i-1)R - 6, iR)
     """
+    D = L + 1
     i = pl.program_id(0)
-    row0 = (i - 1) * R - 6
+    row0 = (i - 1) * R - (D + 2)
     lo, hi = bnd_ref[0], bnd_ref[1]
     clo, chi = bnd_ref[2], bnd_ref[3]
 
-    uw = jnp.concatenate([ucache[...], u_ref[0:6, :]], axis=0)  # (R+12)
-    fw = jnp.concatenate([fcache[...], f_ref[0:5, :]], axis=0)  # (R+10)
-    phw = (jnp.concatenate([phcache[...], ph_ref[0:5, :]], axis=0)
-           if bim else None)  # (R+11) element rows [row0, ...)
+    uw = jnp.concatenate([ucache[...], u_ref[0 : D + 2, :]], axis=0)
+    fw = jnp.concatenate([fcache[...], f_ref[0 : D + 1, :]], axis=0)
+    phw = (jnp.concatenate([phcache[...], ph_ref[0 : D + 1, :]], axis=0)
+           if bim else None)  # (R+2D+3) element rows [row0, ...)
 
-    # jac on R+10 rows [row0+1, row0+R+11) = [(i-1)R - 5, iR + 5)
-    jac, x0, r0 = _jac_rows(uw, fw, phw, R + 12, a0, da, omega, s, row0,
-                            Wp, lo, hi, W, bim)
+    # jac on R+2D+2 rows [row0+1, ...) = [(i-1)R - D - 1, iR + D + 1)
+    jac, x0, r0 = _jac_rows(uw, fw, phw, R + 2 * D + 4, a0, da, omega, s,
+                            row0, Wp, lo, hi, W, bim)
     x = _hchain(x0, k_ref, L, s, row0 + 1, Wp, lo, hi, W)  # (R+4) rows
     u1 = jac[L : L + R + 4, :] + x  # rows [(i-1)R - 2, iR + 2)
     u1_out[...] = u1[2 : R + 2, :]
@@ -317,17 +311,18 @@ def _hswrr_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, dst_ref, u1_out,
     @pl.when(i > 0)
     def _():
         # disjoint owned span rows [(i-1)R - 1, iR - 1)
-        rq = jnp.where(_owned_rows_mask(row0 + 5, R, -1, own_hi),
-                       r0[4 : 4 + R, :], 0.0)
+        rq = jnp.where(_owned_rows_mask(row0 + D + 1, R, -1, own_hi),
+                       r0[D : D + R, :], 0.0)
         rsq_ref[i - 1, 0] = jnp.sum(rq * rq)
 
     # residual of u1 on R+2 rows [(i-1)R - 1, iR + 1)
     if bim:
-        au1, _ = _apply_bim(u1, phw[4 : R + 7, :], R + 4, a0, da, s)
+        au1, _ = _apply_bim(u1, phw[D : D + R + 3, :], R + 4, a0, da, s)
     else:
         au1, _ = _apply_hom(u1, R + 4, a0, s)
-    r1 = fw[4 : R + 6, :] - au1
-    r1 = jnp.where(_interior_mask(row0 + 5, R + 2, Wp, lo, hi, W, s), r1, 0.0)
+    r1 = fw[D : D + R + 2, :] - au1
+    r1 = jnp.where(_interior_mask(row0 + D + 1, R + 2, Wp, lo, hi, W, s),
+                   r1, 0.0)
     fc = _fw_rows(r1[0 : R + 1, :], R, Wp, s)
     Wc = (W - 1) // 2 + 1
     crow0 = (i - 1) * (R // 2)
@@ -335,13 +330,13 @@ def _hswrr_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, dst_ref, u1_out,
         _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc, 0.0)
 
     # roll caches forward
-    ucache[0:6, :] = uw[R : R + 6, :]
-    ucache[6 : R + 6, :] = u_ref[...]
-    fcache[0:5, :] = fw[R : R + 5, :]
-    fcache[5 : R + 5, :] = f_ref[...]
+    ucache[0 : D + 2, :] = uw[R : R + D + 2, :]
+    ucache[D + 2 : R + D + 2, :] = u_ref[...]
+    fcache[0 : D + 1, :] = fw[R : R + D + 1, :]
+    fcache[D + 1 : R + D + 1, :] = f_ref[...]
     if bim:
-        phcache[0:6, :] = phw[R : R + 6, :]
-        phcache[6 : R + 6, :] = ph_ref[...]
+        phcache[0 : D + 2, :] = phw[R : R + D + 2, :]
+        phcache[D + 2 : R + D + 2, :] = ph_ref[...]
 
 
 def _phrelax_kernel(u_ref, f_ref, ph_ref, uc_ref, k_ref, bnd_ref, dst_ref,
@@ -357,33 +352,35 @@ def _phrelax_kernel(u_ref, f_ref, ph_ref, uc_ref, k_ref, bnd_ref, dst_ref,
       phcache[0 : R+4]  = element rows [(i-1)R - 4, iR)
       ucc[0 : R/2+2]    = coarse rows [(i-1)R/2 - 2, iR/2)
     """
+    D = L + 1  # EVEN (L odd): prolongation window alignment needs
     i = pl.program_id(0)
-    row0 = (i - 1) * R - 4  # EVEN: prolongation window alignment
+    row0 = (i - 1) * R - D  # an even window start
     lo, hi = bnd_ref[0], bnd_ref[1]
 
-    uw = jnp.concatenate([ucache[...], u_ref[0:4, :]], axis=0)  # (R+8)
-    fw = jnp.concatenate([fcache[...], f_ref[0:3, :]], axis=0)  # (R+6)
-    phw = (jnp.concatenate([phcache[...], ph_ref[0:3, :]], axis=0)
-           if bim else None)  # (R+7)
-    cw = jnp.concatenate([ucc[...], uc_ref[0:3, :]], axis=0)  # (R/2+5)
+    uw = jnp.concatenate([ucache[...], u_ref[0:D, :]], axis=0)  # (R+2D)
+    fw = jnp.concatenate([fcache[...], f_ref[0 : D - 1, :]], axis=0)
+    phw = (jnp.concatenate([phcache[...], ph_ref[0 : D - 1, :]], axis=0)
+           if bim else None)  # (R+2D-1)
+    cw = jnp.concatenate([ucc[...], uc_ref[0 : D // 2 + 1, :]],
+                         axis=0)  # (R/2 + D + 1)
 
-    corr = _prolong_rows(cw, Wp, s, row0, lo, hi, W)  # (R+8) rows [row0,)
+    corr = _prolong_rows(cw, Wp, s, row0, lo, hi, W)  # (R+2D) rows [row0,)
     u2 = uw + corr
-    jac, x0, _ = _jac_rows(u2, fw, phw, R + 8, a0, da, omega, s, row0,
+    jac, x0, _ = _jac_rows(u2, fw, phw, R + 2 * D, a0, da, omega, s, row0,
                            Wp, lo, hi, W, bim)
     x = _hchain(x0, k_ref, L, s, row0 + 1, Wp, lo, hi, W)  # (R) rows
     u_out[...] = jac[L : L + R, :] + x  # rows [(i-1)R, iR)
 
     # roll caches forward
-    ucache[0:4, :] = uw[R : R + 4, :]
-    ucache[4 : R + 4, :] = u_ref[...]
-    fcache[0:3, :] = fw[R : R + 3, :]
-    fcache[3 : R + 3, :] = f_ref[...]
+    ucache[0:D, :] = uw[R : R + D, :]
+    ucache[D : R + D, :] = u_ref[...]
+    fcache[0 : D - 1, :] = fw[R : R + D - 1, :]
+    fcache[D - 1 : R + D - 1, :] = f_ref[...]
     if bim:
-        phcache[0:4, :] = phw[R : R + 4, :]
-        phcache[4 : R + 4, :] = ph_ref[...]
-    ucc[0:2, :] = cw[R // 2 : R // 2 + 2, :]
-    ucc[2 : R // 2 + 2, :] = uc_ref[...]
+        phcache[0:D, :] = phw[R : R + D, :]
+        phcache[D : R + D, :] = ph_ref[...]
+    ucc[0 : D // 2, :] = cw[R // 2 : R // 2 + D // 2, :]
+    ucc[D // 2 : R // 2 + D // 2, :] = uc_ref[...]
 
 
 def _zhswrr_kernel(f_ref, ph_ref, k_ref, bnd_ref, fc_out, fcache, phcache,
@@ -396,34 +393,35 @@ def _zhswrr_kernel(f_ref, ph_ref, k_ref, bnd_ref, fc_out, fcache, phcache,
       phcache[0 : R+6] = element rows [(i-1)R - 6, iR)
     """
     i = pl.program_id(0)
-    row0f = (i - 1) * R - 5  # f-window row 0 (node row)
+    row0f = (i - 1) * R - (L + 2)  # f-window row 0 (node row)
     lo, hi = bnd_ref[0], bnd_ref[1]
     clo, chi = bnd_ref[2], bnd_ref[3]
 
-    fw = jnp.concatenate([fcache[...], f_ref[0:5, :]], axis=0)  # (R+10)
-    phw = (jnp.concatenate([phcache[...], ph_ref[0:5, :]], axis=0)
-           if bim else None)  # (R+11) element rows [row0f - 1, ...)
+    fw = jnp.concatenate([fcache[...], f_ref[0 : L + 2, :]], axis=0)
+    phw = (jnp.concatenate([phcache[...], ph_ref[0 : L + 2, :]], axis=0)
+           if bim else None)  # (R+2L+5) element rows [row0f - 1, ...)
 
-    u1 = _hrelax0_rows(fw, phw, k_ref, R + 10, L, a0, da, omega, s, row0f,
-                       Wp, lo, hi, W, bim)  # (R+4) rows [(i-1)R - 2, iR + 2)
+    u1 = _hrelax0_rows(fw, phw, k_ref, R + 2 * L + 4, L, a0, da, omega, s,
+                       row0f, Wp, lo, hi, W, bim)  # (R+4) rows
     if bim:
-        # element rows [(i-1)R - 2, iR + 1): phw row 0 is element (i-1)R - 6
-        au1, _ = _apply_bim(u1, phw[4 : R + 7, :], R + 4, a0, da, s)
+        # element rows [(i-1)R - 2, iR + 1)
+        au1, _ = _apply_bim(u1, phw[L + 1 : L + R + 4, :], R + 4, a0, da, s)
     else:
         au1, _ = _apply_hom(u1, R + 4, a0, s)
-    r1 = fw[4 : R + 6, :] - au1  # rows [(i-1)R - 1, iR + 1)
-    r1 = jnp.where(_interior_mask(row0f + 4, R + 2, Wp, lo, hi, W, s), r1, 0.0)
+    r1 = fw[L + 1 : L + R + 3, :] - au1  # rows [(i-1)R - 1, iR + 1)
+    r1 = jnp.where(_interior_mask(row0f + L + 1, R + 2, Wp, lo, hi, W, s),
+                   r1, 0.0)
     fc = _fw_rows(r1[0 : R + 1, :], R, Wp, s)
     Wc = (W - 1) // 2 + 1
     crow0 = (i - 1) * (R // 2)
     fc_out[...] = jnp.where(
         _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc, 0.0)
 
-    fcache[0:5, :] = fw[R : R + 5, :]
-    fcache[5 : R + 5, :] = f_ref[...]
+    fcache[0 : L + 2, :] = fw[R : R + L + 2, :]
+    fcache[L + 2 : R + L + 2, :] = f_ref[...]
     if bim:
-        phcache[0:6, :] = phw[R : R + 6, :]
-        phcache[6 : R + 6, :] = ph_ref[...]
+        phcache[0 : L + 3, :] = phw[R : R + L + 3, :]
+        phcache[L + 3 : R + L + 3, :] = ph_ref[...]
 
 
 def _zphrelax_kernel(f_ref, ph_ref, uc_ref, k_ref, bnd_ref, dst_ref, u_out,
@@ -437,33 +435,36 @@ def _zphrelax_kernel(f_ref, ph_ref, uc_ref, k_ref, bnd_ref, dst_ref, u_out,
       phcache[0 : R+8] = element rows [(i-1)R - 8, iR)
       ucc[0 : R/2+2]   = coarse rows  [(i-1)R/2 - 2, iR/2)
     """
+    D = L + 1  # EVEN (L odd)
     i = pl.program_id(0)
-    row0f = (i - 1) * R - 7
-    row0 = (i - 1) * R - 4  # u2-window row 0 (EVEN)
+    row0f = (i - 1) * R - (2 * L + 1)
+    row0 = (i - 1) * R - D  # u2-window row 0 (EVEN)
     lo, hi = bnd_ref[0], bnd_ref[1]
 
-    fw = jnp.concatenate([fcache[...], f_ref[0:7, :]], axis=0)  # (R+14)
-    phw = (jnp.concatenate([phcache[...], ph_ref[0:7, :]], axis=0)
-           if bim else None)  # (R+15) element rows [row0f - 1, ...)
-    cw = jnp.concatenate([ucc[...], uc_ref[0:3, :]], axis=0)  # (R/2+5)
+    fw = jnp.concatenate([fcache[...], f_ref[0 : 2 * L + 1, :]], axis=0)
+    phw = (jnp.concatenate([phcache[...], ph_ref[0 : 2 * L + 1, :]], axis=0)
+           if bim else None)  # (R+4L+3) element rows [row0f - 1, ...)
+    cw = jnp.concatenate([ucc[...], uc_ref[0 : D // 2 + 1, :]],
+                         axis=0)  # (R/2 + D + 1)
 
-    u1 = _hrelax0_rows(fw, phw, k_ref, R + 14, L, a0, da, omega, s, row0f,
-                       Wp, lo, hi, W, bim)  # (R+8) rows [(i-1)R - 4, iR + 4)
-    corr = _prolong_rows(cw, Wp, s, row0, lo, hi, W)  # (R+8)
+    u1 = _hrelax0_rows(fw, phw, k_ref, R + 4 * L + 2, L, a0, da, omega, s,
+                       row0f, Wp, lo, hi, W, bim)  # (R+2D) rows [row0, ...)
+    corr = _prolong_rows(cw, Wp, s, row0, lo, hi, W)  # (R+2D)
     u2 = u1 + corr
-    jac, x0, _ = _jac_rows(u2, fw[4 : R + 10, :],
-                           phw[4 : R + 11, :] if bim else None,
-                           R + 8, a0, da, omega, s, row0, Wp, lo, hi, W, bim)
+    jac, x0, _ = _jac_rows(u2, fw[L + 1 : L + R + 2 * D - 1, :],
+                           phw[L + 1 : L + R + 2 * D, :] if bim else None,
+                           R + 2 * D, a0, da, omega, s, row0, Wp, lo, hi, W,
+                           bim)
     x = _hchain(x0, k_ref, L, s, row0 + 1, Wp, lo, hi, W)  # (R) rows
     u_out[...] = jac[L : L + R, :] + x
 
-    fcache[0:7, :] = fw[R : R + 7, :]
-    fcache[7 : R + 7, :] = f_ref[...]
+    fcache[0 : 2 * L + 1, :] = fw[R : R + 2 * L + 1, :]
+    fcache[2 * L + 1 : R + 2 * L + 1, :] = f_ref[...]
     if bim:
-        phcache[0:8, :] = phw[R : R + 8, :]
-        phcache[8 : R + 8, :] = ph_ref[...]
-    ucc[0:2, :] = cw[R // 2 : R // 2 + 2, :]
-    ucc[2 : R // 2 + 2, :] = uc_ref[...]
+        phcache[0 : 2 * L + 2, :] = phw[R : R + 2 * L + 2, :]
+        phcache[2 * L + 2 : R + 2 * L + 2, :] = ph_ref[...]
+    ucc[0 : D // 2, :] = cw[R // 2 : R // 2 + D // 2, :]
+    ucc[D // 2 : R // 2 + D // 2, :] = uc_ref[...]
 
 
 _DUMMY_PH_SPEC = pl.BlockSpec((32, 128), lambda i: (0, 0),
@@ -515,9 +516,9 @@ def _run_hswrr(u_pad, f_pad, ph_pad, params, dst, bnd, *, R, H, W, Wp, a0,
             jax.ShapeDtypeStruct((nb, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((R + 6, Wp), jnp.float32),
-            pltpu.VMEM((R + 5, Wp), jnp.float32),
-            pltpu.VMEM((R + 6, Wp), jnp.int8),
+            pltpu.VMEM((R + L + 3, Wp), jnp.float32),
+            pltpu.VMEM((R + L + 2, Wp), jnp.float32),
+            pltpu.VMEM((R + L + 3, Wp), jnp.int8),
         ],
         input_output_aliases={5: 0},
         interpret=interpret,
@@ -545,6 +546,7 @@ def _run_phrelax(u_pad, f_pad, ph_pad, uc_pad, params, dst, bnd, *, R, H, W,
     if bnd is None:
         bnd = _default_bounds(H, W)
     assert (2 * R_up) % R == 0
+    assert L % 2 == 1, "prolongation window alignment needs odd chain depth"
     kern = functools.partial(
         _phrelax_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega,
         s=s, nb=nb, bim=bim, L=L)
@@ -567,10 +569,10 @@ def _run_phrelax(u_pad, f_pad, ph_pad, uc_pad, params, dst, bnd, *, R, H, W,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(u_pad.shape, u_pad.dtype),
         scratch_shapes=[
-            pltpu.VMEM((R + 4, Wp), jnp.float32),
-            pltpu.VMEM((R + 3, Wp), jnp.float32),
-            pltpu.VMEM((R + 4, Wp), jnp.int8),
-            pltpu.VMEM((R // 2 + 2, Wp), jnp.float32),
+            pltpu.VMEM((R + L + 1, Wp), jnp.float32),
+            pltpu.VMEM((R + L, Wp), jnp.float32),
+            pltpu.VMEM((R + L + 1, Wp), jnp.int8),
+            pltpu.VMEM((R // 2 + (L + 1) // 2, Wp), jnp.float32),
         ],
         input_output_aliases={6: 0},
         interpret=interpret,
@@ -621,8 +623,8 @@ def _run_zhswrr(f_pad, ph_pad, params, bnd, *, R, H, W, Wp, a0, da, omega,
         out_specs=_lagged_spec(R // 2, Wp, idx_off),
         out_shape=jax.ShapeDtypeStruct((out_rows, Wp), f_pad.dtype),
         scratch_shapes=[
-            pltpu.VMEM((R + 5, Wp), jnp.float32),
-            pltpu.VMEM((R + 6, Wp), jnp.int8),
+            pltpu.VMEM((R + L + 2, Wp), jnp.float32),
+            pltpu.VMEM((R + L + 3, Wp), jnp.int8),
         ],
         interpret=interpret,
         compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
@@ -647,6 +649,7 @@ def _run_zphrelax(f_pad, ph_pad, uc_pad, params, dst, bnd, *, R, H, W, Wp,
     if bnd is None:
         bnd = _default_bounds(H, W)
     assert (2 * R_up) % R == 0
+    assert L % 2 == 1, "prolongation window alignment needs odd chain depth"
     kern = functools.partial(
         _zphrelax_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega,
         s=s, nb=nb, bim=bim, L=L)
@@ -669,9 +672,9 @@ def _run_zphrelax(f_pad, ph_pad, uc_pad, params, dst, bnd, *, R, H, W, Wp,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(f_pad.shape, f_pad.dtype),
         scratch_shapes=[
-            pltpu.VMEM((R + 7, Wp), jnp.float32),
-            pltpu.VMEM((R + 8, Wp), jnp.int8),
-            pltpu.VMEM((R // 2 + 2, Wp), jnp.float32),
+            pltpu.VMEM((R + 2 * L + 1, Wp), jnp.float32),
+            pltpu.VMEM((R + 2 * L + 2, Wp), jnp.int8),
+            pltpu.VMEM((R // 2 + (L + 1) // 2, Wp), jnp.float32),
         ],
         input_output_aliases={5: 0},
         interpret=interpret,

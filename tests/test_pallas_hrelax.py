@@ -84,8 +84,9 @@ def test_pallas_hmg_matches_xla_cycles():
         assert abs(h1[j] - h2[j]) / h1[j] < 1e-3, (j, h1[j], h2[j])
 
 
+@pytest.mark.parametrize("L", [1, 3], ids=["L1", "L3"])
 @pytest.mark.parametrize("bim", [False, True], ids=["hom", "bim"])
-def test_fused_hmg_legs_match_compositions(bim):
+def test_fused_hmg_legs_match_compositions(bim, L):
     """The four round-4 fused H-MG leg kernels (ops/pallas_hrelax.py:
     hswrr / phrelax / zhswrr / zphrelax) are bit-exact against compositions
     of the individually-verified hrelax / restrict_residual / psweep
@@ -101,7 +102,7 @@ def test_fused_hmg_legs_match_compositions(bim):
     pc = PallasLevel(n // 2, stride=2,
                      phase=geometry.circle_phase(2.0, n // 2) if bim else None,
                      Wp=p.Wp, rows=32, rows_next=32, interpret=True)
-    params = jnp.asarray(rng.standard_normal((3, 3, 3)) * 0.1, jnp.float32)
+    params = jnp.asarray(rng.standard_normal((L, 3, 3)) * 0.1, jnp.float32)
     u = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
     f = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
     uc = jnp.asarray(rng.standard_normal((n // 2 + 1, n // 2 + 1)), jnp.float32)
