@@ -234,10 +234,15 @@ def main():
     # --- H-MG: V-cycles with the learned H-Net smoother at 4097^2 ---
     # Round 4: the FUSED whole-solve (solvers/hmg.py::PallasHMG, two fused
     # kernel passes per level per cycle) driving the error-decay-trained
-    # H-Net (q ~ 0.055 vs plain MG's 0.25, results/learn_iterator/
-    # decay_summary.json) — the learned smoother as a wall-clock WIN.
+    # SINGLE-CONV (L=1) H-Net: the fused H legs are VPU-compute-bound
+    # (docs/kernel_notes_r4.md finding 1), and the L=1 chain reaches the
+    # same q ~ 0.055 as the 3-layer net at 1/3 the chain cost
+    # (results/learn_iterator/decay_L1_hlNone_summary.json) — 2.73 vs
+    # 4.49 ms/cycle, making the learned smoother a wall-clock WIN over
+    # plain MG (11 cycles / ~60 ms vs 23 cycles / ~73 ms).
     from multigrid_feanet_tpu.utils import checkpoint as ckpt
-    hp = jnp.asarray(ckpt.load("results/learn_iterator/hnet_decay.npz")[0])
+    hp = jnp.asarray(
+        ckpt.load("results/learn_iterator/hnet_decay_L1_hlNone.npz")[0])
     hm = hmg.PallasHMG(problem, num_levels=9, pallas_threshold=32, rows=64,
                        rows_coarse=32, direct_coarse=True)
     hm.solve(hp, f0, u0=u0, eps=1e-6, max_cycles=40)
