@@ -342,6 +342,12 @@ def main():
         "measured_copy_peak_gbps": copy_peak,
         "measured_triad_gbps": triad,
         "torus_sweep_us_4096": torus_us,
+        # sweep time over the time the measured triad rate needs for the
+        # sweep's own 12 B/node stream count — the honest roofline
+        # fraction; the residue is the stencil's VPU work
+        # (docs/kernel_notes_r4.md findings 1/5)
+        "sweep_stream_fraction_of_triad": (
+            12 * lv_bi.Hp * lv_bi.Wp / triad / 1e9) / dt_bi,
         "sweep_vs_copy_peak": (13 * lv_bi.Hp * lv_bi.Wp / dt_bi / 1e9)
         / copy_peak,
         "device": str(jax.devices()[0]),

@@ -80,20 +80,34 @@ def _run_triad(a, b, dst, *, R, interpret):
 
 
 def _scan_time(loop, args, lengths):
-    """Min-of-3 wall time per inner call via two-scan-length differencing."""
+    """Min-of-3 wall time per inner call via two-scan-length differencing.
+
+    The loop fn must return ``(*carry_buffers, probe_scalar)`` where the
+    probe is a (cheap) reduction of the final carry.  The probe is fetched
+    to HOST (``float()``) inside the timed region: ``block_until_ready`` on
+    donation-aliased outputs does NOT force execution through the remote
+    tunnel (the whole chained scan is lazily deferred — measured: a
+    640-copy chain "completes" in 0.1 ms without the fetch, and the probe
+    values prove every iteration runs once fetched).  The 4-byte fetch
+    costs one RTT, cancelled by the differencing."""
     ts = {}
     for length in lengths:
         fn = loop(length)
         out = fn(*args)
-        jax.block_until_ready(out[0])
+        float(out[-1])
         best = np.inf
         for _ in range(3):
             t0 = time.time()
-            out = fn(*out)
-            jax.block_until_ready(out[0])
+            out = fn(*out[:-1])
+            float(out[-1])
             best = min(best, time.time() - t0)
         ts[length] = best
     return (ts[lengths[1]] - ts[lengths[0]]) / (2 * (lengths[1] - lengths[0]))
+
+
+def _probe(x):
+    # tiny strided reduction — negligible work, depends on the full chain
+    return jnp.sum(x[::37, ::41])
 
 
 def copy_gbps(rows_total: int = 4160, Wp: int = 4224, R: int = 64,
@@ -120,7 +134,8 @@ def copy_gbps(rows_total: int = 4160, Wp: int = 4224, R: int = 64,
                 x = _run_copy(a, dst=b, R=R, interpret=interpret)
                 y = _run_copy(x, dst=a, R=R, interpret=interpret)
                 return (y, x), None
-            return jax.lax.scan(body, (a, b), None, length=length)[0]
+            ya, xb = jax.lax.scan(body, (a, b), None, length=length)[0]
+            return ya, xb, _probe(ya)
         return fn
 
     dt = _scan_time(loop, (a, b), lengths)
@@ -141,11 +156,19 @@ def triad_gbps(rows_total: int = 4160, Wp: int = 4224, R: int = 64,
         def fn(a, b, c):
             def body(carry, _):
                 a, b, c = carry
+                # THREE triads per body so the buffer rotation composes to
+                # the identity on carry slots (x sits in c's buffer, y in
+                # a's, z in b's).  A non-slot-stable rotation makes XLA
+                # insert a full-buffer copy per carry slot per iteration —
+                # measured 5x slowdown (411 vs ~1300 GB/s).
                 x = _run_triad(a, b, dst=c, R=R, interpret=interpret)
-                y = _run_triad(x, a, dst=b, R=R, interpret=interpret)
-                return (y, x, a), None
-            return jax.lax.scan(body, (a, b, c), None, length=length)[0]
+                y = _run_triad(x, b, dst=a, R=R, interpret=interpret)
+                z = _run_triad(y, x, dst=b, R=R, interpret=interpret)
+                return (y, z, x), None
+            ya, zb, xc = jax.lax.scan(body, (a, b, c), None, length=length)[0]
+            return ya, zb, xc, _probe(ya)
         return fn
 
     dt = _scan_time(loop, (a, b, c), lengths)
+    dt = dt * 2.0 / 3.0  # _scan_time assumes 2 kernels/body; we run 3
     return 12.0 * rows_total * Wp / dt / 1e9
