@@ -88,6 +88,14 @@ def main():
     lv_ho = PallasLevel(n, stride=1, phase=None, interpret=False)
     dt_ho = v2_sweep_time(lv_ho)
     rate_bi, rate_ho = nnz / dt_bi, nnz / dt_ho
+    # bf16-storage sweep (f32 in-kernel compute): halves the HBM stream of
+    # the stream-bound homogeneous form -> measured ~1.6x.  The bi-material
+    # form and the fused V-cycle legs are VPU-compute-bound and do NOT
+    # speed up (docs/kernel_notes_r4.md findings 5/6), so f32 stays the
+    # production dtype for solves.
+    lv_ho16 = PallasLevel(n, stride=1, phase=None, interpret=False,
+                          dtype=jnp.bfloat16)
+    dt_ho16 = v2_sweep_time(lv_ho16)
 
     # --- round-1 temporally-fused k-sweep rates (continuity rows) ---
     def fused_rate(ps, k, iters=150):
@@ -319,6 +327,8 @@ def main():
         "sweep_us_bimaterial": dt_bi * 1e6,
         "sweep_us_homogeneous": dt_ho * 1e6,
         "nnz_per_s_homogeneous": rate_ho,
+        "sweep_us_homogeneous_bf16": dt_ho16 * 1e6,
+        "nnz_per_s_homogeneous_bf16": nnz / dt_ho16,
         "nnz_per_s_bimaterial_fused4_r1": rate_bi_k4,
         "nnz_per_s_homogeneous_fused8_r1": rate_ho_k8,
         "vcycle_4097_solve_s": t_solve,

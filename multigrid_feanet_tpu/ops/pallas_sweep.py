@@ -229,12 +229,16 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
     row0 = (i - 1) * R - 1  # local node row of window row 0
     lo, hi = bnd_ref[0], bnd_ref[1]
 
-    cache[R + 1 : R + 2, :] = jnp.where(i == nb, uh_ref[0:1, :], u_ref[0:1, :])
+    # All compute is f32; u/f/uc streams may be bf16 (halved HBM traffic —
+    # the scratch caches and halo strips stay f32, so loads cast up and the
+    # single store casts down).
+    cache[R + 1 : R + 2, :] = jnp.where(
+        i == nb, uh_ref[0:1, :], u_ref[0:1, :].astype(jnp.float32))
     u_win = cache[...]  # (R+2, Wp) = node rows [row0, row0 + R + 2)
 
     if with_corr:
         ucc[R // 2 + 1 : R // 2 + 2, :] = jnp.where(
-            i == nb, uch_ref[0:1, :], uc_ref[0:1, :])
+            i == nb, uch_ref[0:1, :], uc_ref[0:1, :].astype(jnp.float32))
         cw = ucc[...]  # (R/2+2, Wp) = coarse rows [(i-1)R/2 - 1, iR/2]
         # rows: window row m = fine row row0 + m; row0 is odd, so even m are
         # fine-odd rows (midpoints) and odd m are injections.
@@ -257,12 +261,13 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
         au, _ = _apply_hom(u_win, R + 2, a0, s, mass=mass)
         d = _diag_hom(a0, mass)
 
-    r = f_ref[...] - au
+    r = f_ref[...].astype(jnp.float32) - au
     r = jnp.where(_interior_mask(row0 + 1, R, Wp, lo, hi, W, s), r, 0.0)
     if mode == "sweep":
-        u_out[...] = u_win[1 : R + 1, :] + (omega / d) * r
+        u_out[...] = (u_win[1 : R + 1, :] + (omega / d) * r).astype(
+            u_out.dtype)
     else:  # residual
-        u_out[...] = r
+        u_out[...] = r.astype(u_out.dtype)
 
     @pl.when(i > 0)
     def _():
@@ -271,13 +276,13 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
 
     # roll caches forward
     cache[0:1, :] = jnp.where(i == 0, uh_ref[7:8, :], cache[R : R + 1, :])
-    cache[1 : R + 1, :] = u_ref[...]
+    cache[1 : R + 1, :] = u_ref[...].astype(jnp.float32)
     if bim:
         phc[0:1, :] = ph_ref[R - 1 : R, :]
     if with_corr:
         ucc[0:1, :] = jnp.where(i == 0, uch_ref[7:8, :],
                                 ucc[R // 2 : R // 2 + 1, :])
-        ucc[1 : R // 2 + 1, :] = uc_ref[...]
+        ucc[1 : R // 2 + 1, :] = uc_ref[...].astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -317,8 +322,10 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
     lo, hi = bnd_ref[0], bnd_ref[1]
     clo, chi = bnd_ref[2], bnd_ref[3]
 
-    uwin[R + 2 : R + 4, :] = jnp.where(i == nb, uh_ref[0:2, :], u_ref[0:2, :])
-    fwin[R + 1 : R + 2, :] = jnp.where(i == nb, fh_ref[0:1, :], f_ref[0:1, :])
+    uwin[R + 2 : R + 4, :] = jnp.where(
+        i == nb, uh_ref[0:2, :], u_ref[0:2, :].astype(jnp.float32))
+    fwin[R + 1 : R + 2, :] = jnp.where(
+        i == nb, fh_ref[0:1, :], f_ref[0:1, :].astype(jnp.float32))
     if bim:
         phw[R + 2 : R + 3, :] = jnp.where(i == nb, phh_ref[0:1, :],
                                           ph_ref[0:1, :])
@@ -336,7 +343,7 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
     r0 = f0 - au0
     r0 = jnp.where(_interior_mask(row0 + 1, R + 2, Wp, lo, hi, W, s), r0, 0.0)
     u1full = uw[1 : R + 3, :] + (omega / d) * r0  # u1 rows [(i-1)R-1, iR]
-    u1_out[...] = u1full[1 : R + 1, :]
+    u1_out[...] = u1full[1 : R + 1, :].astype(u1_out.dtype)
 
     @pl.when(i > 0)
     def _():
@@ -360,7 +367,8 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
     Wc = (W - 1) // 2 + 1
     crow0 = (i - 1) * (R // 2)
     fc_out[...] = jnp.where(
-        _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc, 0.0)
+        _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc,
+        0.0).astype(fc_out.dtype)
 
     # seed for the NEXT shard-local step 1: u1 at node row -2, swept from
     # the halo rows (single device: halos are zero and the row is masked,
@@ -380,10 +388,10 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
     u1c[0:1, :] = jnp.where(i == 0, u1m2, u1full[R - 1 : R, :])
     uwin[0:2, :] = jnp.where(i == 0, uh_ref[6:8, :], uwin[R : R + 2, :])
     uwin[2:4, :] = uwin[R + 2 : R + 4, :]
-    uwin[4 : R + 2, :] = u_ref[2:R, :]
+    uwin[4 : R + 2, :] = u_ref[2:R, :].astype(jnp.float32)
     fwin[0:1, :] = jnp.where(i == 0, fh_ref[7:8, :], fwin[R : R + 1, :])
     fwin[1:2, :] = fwin[R + 1 : R + 2, :]
-    fwin[2 : R + 1, :] = f_ref[1:R, :]
+    fwin[2 : R + 1, :] = f_ref[1:R, :].astype(jnp.float32)
     if bim:
         phw[0:2, :] = jnp.where(i == 0, phh_ref[6:8, :], phw[R : R + 2, :])
         phw[2:3, :] = phw[R + 2 : R + 3, :]
@@ -424,13 +432,15 @@ def _pswrr_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, fh_ref,
     lo, hi = bnd_ref[0], bnd_ref[1]
     clo, chi = bnd_ref[2], bnd_ref[3]
 
-    uwin[R + 4 : R + 6, :] = jnp.where(i == nb, uh_ref[0:2, :], u_ref[0:2, :])
-    fwin[R + 3 : R + 5, :] = jnp.where(i == nb, fh_ref[0:2, :], f_ref[0:2, :])
+    uwin[R + 4 : R + 6, :] = jnp.where(
+        i == nb, uh_ref[0:2, :], u_ref[0:2, :].astype(jnp.float32))
+    fwin[R + 3 : R + 5, :] = jnp.where(
+        i == nb, fh_ref[0:2, :], f_ref[0:2, :].astype(jnp.float32))
     if bim:
         phw[R + 4 : R + 6, :] = jnp.where(i == nb, phh_ref[0:2, :],
                                           ph_ref[0:2, :])
     ucc[R // 2 + 2 : R // 2 + 4, :] = jnp.where(
-        i == nb, uch_ref[0:2, :], uc_ref[0:2, :])
+        i == nb, uch_ref[0:2, :], uc_ref[0:2, :].astype(jnp.float32))
 
     # ---- u2 = u1 + P(uc) on R+7 rows [row0, row0 + R + 7) ----
     # row0 is EVEN: window row m even -> coarse injection, odd -> midpoint.
@@ -443,7 +453,8 @@ def _pswrr_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, fh_ref,
     gc = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
     corr = jnp.where((gc & (2 * s - 1)) == 0, corr_r, lane_mid)
     corr = jnp.where(_interior_mask(row0, R + 7, Wp, lo, hi, W, s), corr, 0.0)
-    u1w = jnp.concatenate([uwin[...], u_ref[2:3, :]], axis=0)  # (R+7, Wp)
+    u1w = jnp.concatenate(
+        [uwin[...], u_ref[2:3, :].astype(jnp.float32)], axis=0)  # (R+7, Wp)
     u2 = u1w + corr
 
     # ---- u3 = jacobi(u2) on R+5 rows [row0+1, row0+R+6) ----
@@ -469,7 +480,7 @@ def _pswrr_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, fh_ref,
     r3 = f0[1 : R + 4, :] - au3
     r3 = jnp.where(_interior_mask(row0 + 2, R + 3, Wp, lo, hi, W, s), r3, 0.0)
     u4 = u3[1 : R + 4, :] + (omega / d3) * r3  # rows [row0+2, row0+R+5)
-    u4_out[...] = u4[2 : R + 2, :]
+    u4_out[...] = u4[2 : R + 2, :].astype(u4_out.dtype)
 
     @pl.when(i > 0)
     def _():
@@ -493,22 +504,23 @@ def _pswrr_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, fh_ref,
     Wc = (W - 1) // 2 + 1
     crow0 = (i - 1) * (R // 2)
     fc_out[...] = jnp.where(
-        _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc, 0.0)
+        _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc,
+        0.0).astype(fc_out.dtype)
 
     # ---- roll caches forward ----
     uwin[0:4, :] = jnp.where(i == 0, uh_ref[4:8, :], uwin[R : R + 4, :])
     uwin[4:6, :] = uwin[R + 4 : R + 6, :]
-    uwin[6 : R + 4, :] = u_ref[2:R, :]
+    uwin[6 : R + 4, :] = u_ref[2:R, :].astype(jnp.float32)
     fwin[0:3, :] = jnp.where(i == 0, fh_ref[5:8, :], fwin[R : R + 3, :])
     fwin[3:5, :] = fwin[R + 3 : R + 5, :]
-    fwin[5 : R + 3, :] = f_ref[2:R, :]
+    fwin[5 : R + 3, :] = f_ref[2:R, :].astype(jnp.float32)
     if bim:
         phw[0:4, :] = jnp.where(i == 0, phh_ref[4:8, :], phw[R : R + 4, :])
         phw[4:6, :] = phw[R + 4 : R + 6, :]
         phw[6 : R + 4, :] = ph_ref[2:R, :]
     ucc[0:2, :] = jnp.where(i == 0, uch_ref[6:8, :],
                             ucc[R // 2 : R // 2 + 2, :])
-    ucc[2 : R // 2 + 2, :] = uc_ref[...]
+    ucc[2 : R // 2 + 2, :] = uc_ref[...].astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -546,7 +558,8 @@ def _zrr_kernel(f_ref, ph_ref, fh_ref, phh_ref, bnd_ref, fc_out,
     lo, hi = bnd_ref[0], bnd_ref[1]
     clo, chi = bnd_ref[2], bnd_ref[3]
 
-    fwin[R + 2 : R + 3, :] = jnp.where(i == nb, fh_ref[0:1, :], f_ref[0:1, :])
+    fwin[R + 2 : R + 3, :] = jnp.where(
+        i == nb, fh_ref[0:1, :], f_ref[0:1, :].astype(jnp.float32))
     if bim:
         phw[R + 3 : R + 4, :] = jnp.where(i == nb, phh_ref[0:1, :],
                                           ph_ref[0:1, :])
@@ -576,12 +589,13 @@ def _zrr_kernel(f_ref, ph_ref, fh_ref, phh_ref, bnd_ref, fc_out,
     Wc = (W - 1) // 2 + 1
     crow0 = (i - 1) * (R // 2)
     fc_out[...] = jnp.where(
-        _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc, 0.0)
+        _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc,
+        0.0).astype(fc_out.dtype)
 
     # roll caches forward
     fwin[0:2, :] = jnp.where(i == 0, fh_ref[6:8, :], fwin[R : R + 2, :])
     fwin[2:3, :] = fwin[R + 2 : R + 3, :]
-    fwin[3 : R + 2, :] = f_ref[1:R, :]
+    fwin[3 : R + 2, :] = f_ref[1:R, :].astype(jnp.float32)
     if bim:
         phw[0:3, :] = jnp.where(i == 0, phh_ref[5:8, :], phw[R : R + 3, :])
         phw[3:4, :] = phw[R + 3 : R + 4, :]
@@ -602,12 +616,13 @@ def _zpsweep_kernel(f_ref, ph_ref, uc_ref, dst_ref, fh_ref, phh_ref, uch_ref,
     row0 = (i - 1) * R - 1  # u2-window row 0 (node row)
     lo, hi = bnd_ref[0], bnd_ref[1]
 
-    fwin[R + 1 : R + 2, :] = jnp.where(i == nb, fh_ref[0:1, :], f_ref[0:1, :])
+    fwin[R + 1 : R + 2, :] = jnp.where(
+        i == nb, fh_ref[0:1, :], f_ref[0:1, :].astype(jnp.float32))
     if bim:
         phw[R + 2 : R + 3, :] = jnp.where(i == nb, phh_ref[0:1, :],
                                           ph_ref[0:1, :])
     ucc[R // 2 + 1 : R // 2 + 2, :] = jnp.where(
-        i == nb, uch_ref[0:1, :], uc_ref[0:1, :])
+        i == nb, uch_ref[0:1, :], uc_ref[0:1, :].astype(jnp.float32))
 
     f0 = fwin[...]  # (R+2, Wp): f rows [row0, row0 + R + 2)
     if bim:
@@ -639,19 +654,19 @@ def _zpsweep_kernel(f_ref, ph_ref, uc_ref, dst_ref, fh_ref, phh_ref, uch_ref,
         d = _diag_hom(a0, mass)
     r = f0[1 : R + 1, :] - au
     r = jnp.where(_interior_mask(row0 + 1, R, Wp, lo, hi, W, s), r, 0.0)
-    u_out[...] = u2[1 : R + 1, :] + (omega / d) * r
+    u_out[...] = (u2[1 : R + 1, :] + (omega / d) * r).astype(u_out.dtype)
 
     # roll caches forward
     fwin[0:1, :] = jnp.where(i == 0, fh_ref[7:8, :], fwin[R : R + 1, :])
     fwin[1:2, :] = fwin[R + 1 : R + 2, :]
-    fwin[2 : R + 1, :] = f_ref[1:R, :]
+    fwin[2 : R + 1, :] = f_ref[1:R, :].astype(jnp.float32)
     if bim:
         phw[0:2, :] = jnp.where(i == 0, phh_ref[6:8, :], phw[R : R + 2, :])
         phw[2:3, :] = phw[R + 2 : R + 3, :]
         phw[3 : R + 2, :] = ph_ref[1:R, :]
     ucc[0:1, :] = jnp.where(i == 0, uch_ref[7:8, :],
                             ucc[R // 2 : R // 2 + 1, :])
-    ucc[1 : R // 2 + 1, :] = uc_ref[...]
+    ucc[1 : R // 2 + 1, :] = uc_ref[...].astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -682,7 +697,8 @@ def _rr_kernel(u_ref, f_ref, ph_ref, uh_ref, bnd_ref, fc_out, rsq_ref,
     lo, hi = bnd_ref[0], bnd_ref[1]
     clo, chi = bnd_ref[2], bnd_ref[3]
 
-    cache[R + 2 : R + 3, :] = jnp.where(i == nb, uh_ref[0:1, :], u_ref[0:1, :])
+    cache[R + 2 : R + 3, :] = jnp.where(
+        i == nb, uh_ref[0:1, :], u_ref[0:1, :].astype(jnp.float32))
     u_win = cache[...]  # (R+3, Wp)
 
     if bim:
@@ -691,7 +707,8 @@ def _rr_kernel(u_ref, f_ref, ph_ref, uh_ref, bnd_ref, fc_out, rsq_ref,
     else:
         au, _ = _apply_hom(u_win, R + 3, a0, s, mass=mass)
     # au covers node rows [(i-1)R - 1, iR]  -> R+1 rows
-    f_win = jnp.concatenate([fch[...], f_ref[...]], axis=0)  # same rows
+    f_win = jnp.concatenate(
+        [fch[...], f_ref[...].astype(jnp.float32)], axis=0)  # same rows
     r = f_win - au
     r = jnp.where(_interior_mask(row0 + 1, R + 1, Wp, lo, hi, W, s), r, 0.0)
 
@@ -714,12 +731,13 @@ def _rr_kernel(u_ref, f_ref, ph_ref, uh_ref, bnd_ref, fc_out, rsq_ref,
     Wc = (W - 1) // 2 + 1
     crow0 = (i - 1) * (R // 2)
     fc_out[...] = jnp.where(
-        _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc, 0.0)
+        _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc,
+        0.0).astype(fc_out.dtype)
 
     # roll caches forward
     cache[0:2, :] = jnp.where(i == 0, uh_ref[6:8, :], cache[R : R + 2, :])
-    cache[2 : R + 2, :] = u_ref[...]
-    fch[0:1, :] = f_ref[R - 1 : R, :]
+    cache[2 : R + 2, :] = u_ref[...].astype(jnp.float32)
+    fch[0:1, :] = f_ref[R - 1 : R, :].astype(jnp.float32)
     if bim:
         phc[0:2, :] = ph_ref[R - 2 : R, :]
 
@@ -758,10 +776,12 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, uh, uch, bnd, *, R, H, W,
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     with_corr = uc_pad is not None
-    if uh is None:
-        uh = jnp.zeros((8, Wp), u_pad.dtype)
-    if uch is None:
-        uch = jnp.zeros((8, Wp), u_pad.dtype)
+    # Halo strips are always f32 (8-row blocks are below the bf16 sublane
+    # tile; the kernel's caches are f32 anyway)
+    uh = (jnp.zeros((8, Wp), jnp.float32) if uh is None
+          else uh.astype(jnp.float32))
+    uch = (jnp.zeros((8, Wp), jnp.float32) if uch is None
+           else uch.astype(jnp.float32))
     if bnd is None:
         bnd = _default_bounds(H, W)
     kern = functools.partial(
@@ -813,11 +833,13 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, uh, uch, bnd, *, R, H, W,
         interpret=interpret,
         compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_mb) << 20)),
-        # bytes_accessed is BYTES per node: u in + f in + u out (3 x f32 =
-        # 12 B) plus the int8 element-phase stream (+1 B) when bi-material.
+        # bytes_accessed is BYTES per node: u in + f in + u out (3 fields at
+        # the storage itemsize — 12 B f32 / 6 B bf16) plus the int8
+        # element-phase stream (+1 B) when bi-material.
         cost_estimate=pl.CostEstimate(
             flops=(35 if bim else 12) * (u_pad.shape[0] - 2 * R) * Wp,
-            bytes_accessed=(13 if bim else 12) * (u_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=(3 * u_pad.dtype.itemsize + (1 if bim else 0))
+            * (u_pad.shape[0] - 2 * R) * Wp,
             transcendentals=0,
         ),
     )(*args)
@@ -835,10 +857,10 @@ def _run_swrr(u_pad, f_pad, ph_pad, dst, uh, fh, phh, bnd, *, R, H, W, Wp,
     if out_rows is None:
         Hc = (H - 1) // 2 + 1
         out_rows = _round_up(Hc, Rc) + 2 * Rc
-    if uh is None:
-        uh = jnp.zeros((8, Wp), u_pad.dtype)
-    if fh is None:
-        fh = jnp.zeros((8, Wp), u_pad.dtype)
+    uh = (jnp.zeros((8, Wp), jnp.float32) if uh is None
+          else uh.astype(jnp.float32))
+    fh = (jnp.zeros((8, Wp), jnp.float32) if fh is None
+          else fh.astype(jnp.float32))
     if phh is None:
         phh = jnp.zeros((8, Wp), jnp.int8)
     if bnd is None:
@@ -910,14 +932,14 @@ def _run_pswrr(u_pad, f_pad, ph_pad, uc_pad, dst, uh, fh, phh, uch, bnd, *,
     if out_rows is None:
         Hc = (H - 1) // 2 + 1
         out_rows = _round_up(Hc, Rc) + 2 * Rc
-    if uh is None:
-        uh = jnp.zeros((8, Wp), u_pad.dtype)
-    if fh is None:
-        fh = jnp.zeros((8, Wp), u_pad.dtype)
+    uh = (jnp.zeros((8, Wp), jnp.float32) if uh is None
+          else uh.astype(jnp.float32))
+    fh = (jnp.zeros((8, Wp), jnp.float32) if fh is None
+          else fh.astype(jnp.float32))
     if phh is None:
         phh = jnp.zeros((8, Wp), jnp.int8)
-    if uch is None:
-        uch = jnp.zeros((8, Wp), u_pad.dtype)
+    uch = (jnp.zeros((8, Wp), jnp.float32) if uch is None
+           else uch.astype(jnp.float32))
     if bnd is None:
         bnd = _default_bounds(H, W)
     assert (2 * Rc) % R == 0 and (2 * R_up) % R == 0
@@ -985,8 +1007,8 @@ def _run_zrr(f_pad, ph_pad, fh, phh, bnd, *, R, H, W, Wp, a0, da, omega, s,
     if out_rows is None:
         Hc = (H - 1) // 2 + 1
         out_rows = _round_up(Hc, Rc) + 2 * Rc
-    if fh is None:
-        fh = jnp.zeros((8, Wp), f_pad.dtype)
+    fh = (jnp.zeros((8, Wp), jnp.float32) if fh is None
+          else fh.astype(jnp.float32))
     if phh is None:
         phh = jnp.zeros((8, Wp), jnp.int8)
     if bnd is None:
@@ -1038,12 +1060,12 @@ def _run_zpsweep(f_pad, ph_pad, uc_pad, dst, fh, phh, uch, bnd, *, R, H, W,
                  mass=None):
     nb = (f_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
-    if fh is None:
-        fh = jnp.zeros((8, Wp), f_pad.dtype)
+    fh = (jnp.zeros((8, Wp), jnp.float32) if fh is None
+          else fh.astype(jnp.float32))
     if phh is None:
         phh = jnp.zeros((8, Wp), jnp.int8)
-    if uch is None:
-        uch = jnp.zeros((8, Wp), f_pad.dtype)
+    uch = (jnp.zeros((8, Wp), jnp.float32) if uch is None
+           else uch.astype(jnp.float32))
     if bnd is None:
         bnd = _default_bounds(H, W)
     assert (2 * R_up) % R == 0
@@ -1098,8 +1120,8 @@ def _run_rr(u_pad, f_pad, ph_pad, uh, bnd, *, R, H, W, Wp, a0, da, s, Rc,
     if out_rows is None:
         Hc = (H - 1) // 2 + 1
         out_rows = _round_up(Hc, Rc) + 2 * Rc
-    if uh is None:
-        uh = jnp.zeros((8, Wp), u_pad.dtype)
+    uh = (jnp.zeros((8, Wp), jnp.float32) if uh is None
+          else uh.astype(jnp.float32))
     if bnd is None:
         bnd = _default_bounds(H, W)
     assert (2 * Rc) % R == 0

@@ -69,14 +69,23 @@ class PallasHierarchyV2:
                  direct_coarse: bool = True, psweep_vmem_mb: Optional[int] = None,
                  rows_coarse: Optional[int] = 32, coarse_rows_below: int = 1024,
                  hier: Optional[GridHierarchy] = None, coefficients=None,
-                 mass_fn=None):
+                 mass_fn=None, dtype=jnp.float32):
         """``hier``/``coefficients``/``mass_fn`` generalize the solver to any
         phase-affine operator of the form  c * K + M  (stiffness scaled by a
         constant plus a pattern-independent per-element operator): pass the
         prebuilt system hierarchy (drives the XLA subtree + direct coarse
         solve), the scaled ``(c a0, c a1)`` coefficient pair, and a
         ``mass_fn(level) -> (mp, ms, mo) | None`` evaluated per level.  The
-        heat theta-system wrapper is ops/heat.py::pallas_heat_hierarchy."""
+        heat theta-system wrapper is ops/heat.py::pallas_heat_hierarchy.
+
+        ``dtype=jnp.bfloat16`` stores the Pallas-level field buffers in
+        bfloat16 (compute stays f32 in-kernel; the XLA subtree and the
+        direct coarse solve run f32): halves the HBM stream of every fused
+        leg — a measured ~1.6x on the homogeneous sweep.  Per-cycle
+        rounding injects ~1e-3 relative noise, so use it for the f=0 decay
+        protocol (error and iterate shrink together: q degrades only
+        ~0.19 -> ~0.20) or as the correction solver inside
+        pallas_mg.solve_ir for nonzero f."""
         self.problem = problem
         self.hier = hier if hier is not None else GridHierarchy.create(
             problem, num_levels)
@@ -114,7 +123,7 @@ class PallasHierarchyV2:
             p = PallasLevel(lv.n, stride=1 << l, phase=phase,
                             coefficients=coeffs, omega=omega,
                             Wp=Wp, rows=R_l, rows_next=R_next,
-                            interpret=interpret,
+                            interpret=interpret, dtype=dtype,
                             mass=(mass_fn(lv) if mass_fn is not None else None))
             Wp = p.Wp
             self.pl.append(p)
@@ -180,9 +189,10 @@ class PallasHierarchyV2:
             for _ in range(nu2 - 1):
                 cur, spare = p.sweep(cur, fcb, dst=spare)[0], cur
             return cur
-        # handoff: compact, run the XLA subtree, re-pad
+        # handoff: compact, run the XLA subtree in f32, re-pad (pad casts
+        # back to the hierarchy's storage dtype)
         p = self.pl[l]
-        f_plain = p.unpad(fcb)
+        f_plain = p.unpad(fcb).astype(jnp.float32)
         u_plain = self._xla_vcycle(l, jnp.zeros_like(f_plain), f_plain, nu1, nu2)
         return p.pad(u_plain)
 
@@ -213,7 +223,7 @@ class PallasHierarchyV2:
 
     def solve(self, f, u0=None, bc_value=None, nu1: int = 1, nu2: int = 1,
               eps: float = 1e-6, max_cycles: int = 100, chunk: int = 1,
-              use_pswrr: bool = True):
+              use_pswrr: bool = False):
         """V-cycle solve to interior residual ``eps``.
 
         ``f`` is the mass-convolved RHS as a plain (n+1, n+1) field.
@@ -247,11 +257,14 @@ class PallasHierarchyV2:
             u0 = jnp.zeros((H, H), p0.dtype)
         u0 = reset_boundary(u0, lv0.geo, 0.0 if bc_value is None else bc_value)
 
-        # V(1,1) fast path: cross-cycle fused fine level (pswrr) — the
-        # prolongation-add + post-smooth of cycle k and the pre-smooth +
-        # restriction of cycle k+1 run as ONE kernel (17 B/node/cycle at
-        # the fine level instead of 29).  chunk is forced even so the
-        # donation ping-pong returns buffers to their carry slots.
+        # V(1,1) cross-cycle fused fine level (pswrr): the prolongation-add
+        # + post-smooth of cycle k and the pre-smooth + restriction of cycle
+        # k+1 run as ONE kernel (17 B/node/cycle at the fine level instead
+        # of 29).  chunk is forced even so the donation ping-pong returns
+        # buffers to their carry slots.  OFF by default since round 4: the
+        # deep-window kernel is VPU-bound and measures ~4% SLOWER end-to-end
+        # than the split swrr+psweep path (docs/kernel_notes_r4.md finding 2);
+        # kept for study.
         if nu1 == 1 and nu2 == 1 and use_pswrr:
             chunk = chunk + (chunk & 1)
             key = ("solve_pswrr", float(eps), max_cycles, chunk)

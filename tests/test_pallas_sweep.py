@@ -102,6 +102,82 @@ def test_v2_kernels_parity(bim, s, R):
 
 
 @pytest.mark.parametrize("bim", [False, True], ids=["hom", "bim"])
+def test_bf16_storage_kernels(bim):
+    """bfloat16-storage kernels (f32 in-kernel compute): every fused leg
+    must match its f32 twin within bf16 rounding (~1e-2 relative).  On chip
+    the homogeneous sweep is stream-bound and runs ~1.6x faster at 6 B/node
+    (BENCH r4 ``nnz_per_s_homogeneous_bf16``); the fused V-cycle legs are
+    VPU-bound and keep f32 as the production dtype."""
+    rng = np.random.default_rng(1)
+    n, R, Wp = 64, 32, 128
+    H = n + 1
+    prob = Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5) if bim else None)
+    phase = prob.phase(n) if bim else None
+    lv32 = PallasLevel(n, phase=phase, Wp=Wp, rows=R, rows_next=R,
+                       interpret=True)
+    lv16 = PallasLevel(n, phase=phase, Wp=Wp, rows=R, rows_next=R,
+                       interpret=True, dtype=jnp.bfloat16)
+    nc = n // 2
+    c32 = PallasLevel(nc, stride=2, Wp=Wp, rows=R, rows_next=R, interpret=True)
+    c16 = PallasLevel(nc, stride=2, Wp=Wp, rows=R, rows_next=R,
+                      interpret=True, dtype=jnp.bfloat16)
+    u = jnp.asarray(rng.standard_normal((H, H)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((H, H)), jnp.float32)
+    uc = jnp.asarray(rng.standard_normal((nc + 1, nc + 1)), jnp.float32)
+    BTOL = 2e-2  # bf16 has an 8-bit mantissa
+
+    def cmp(a16, a32, unpad16, unpad32):
+        assert a16.dtype == jnp.bfloat16
+        got = np.asarray(unpad16(a16)).astype(np.float32)
+        assert _rel_err(got, unpad32(a32)) < BTOL
+
+    o32, r32 = lv32.sweep(lv32.pad(u), lv32.pad(f))
+    o16, r16 = lv16.sweep(lv16.pad(u), lv16.pad(f))
+    cmp(o16, o32, lv16.unpad, lv32.unpad)
+    assert float(r16) == pytest.approx(float(r32), rel=BTOL)
+
+    p32, _ = lv32.psweep(lv32.pad(u), lv32.pad(f), c32.pad(uc), R_up=R)
+    p16, _ = lv16.psweep(lv16.pad(u), lv16.pad(f), c16.pad(uc), R_up=R)
+    cmp(p16, p32, lv16.unpad, lv32.unpad)
+
+    u1_32, fc32, q32 = lv32.sweep_restrict(lv32.pad(u), lv32.pad(f))
+    u1_16, fc16, q16 = lv16.sweep_restrict(lv16.pad(u), lv16.pad(f))
+    cmp(u1_16, u1_32, lv16.unpad, lv32.unpad)
+    cmp(fc16, fc32, c16.unpad, c32.unpad)
+    assert float(q16) == pytest.approx(float(q32), rel=BTOL)
+
+    z32 = lv32.zsweep_restrict(lv32.pad(f))
+    z16 = lv16.zsweep_restrict(lv16.pad(f))
+    cmp(z16, z32, c16.unpad, c32.unpad)
+
+    zp32 = lv32.zpsweep(lv32.pad(f), c32.pad(uc), R_up=R)
+    zp16 = lv16.zpsweep(lv16.pad(f), c16.pad(uc), R_up=R)
+    cmp(zp16, zp32, lv16.unpad, lv32.unpad)
+
+
+def test_bf16_vcycle_solve_converges():
+    """Full bf16-storage V-cycle solve on the f=0 decay protocol: error and
+    iterate shrink together, so bf16 rounding (relative to the current
+    amplitude) does not floor the ABSOLUTE residual — same cycle count and
+    tail q as f32 (verified at 4097^2 on chip: 23 cycles both dtypes)."""
+    from multigrid_feanet_tpu.solvers.pallas_mg2 import PallasHierarchyV2
+
+    n = 64
+    prob = Problem(n=n, dtype=jnp.float32)
+    ph = PallasHierarchyV2(prob, num_levels=4, pallas_threshold=32, rows=32,
+                           rows_coarse=32, interpret=True,
+                           dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    u0 = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    f0 = jnp.zeros((n + 1, n + 1), jnp.float32)
+    u, hist = ph.solve(f0, u0=u0, eps=0.0, max_cycles=8)
+    hist = np.asarray(hist)
+    q = np.exp(np.mean(np.diff(np.log(hist + 1e-30))[1:]))
+    assert hist[-1] < 1e-3 * hist[0]
+    assert q < 0.35, q  # V(1,1) ~ 0.26 + bf16 rounding margin
+
+
+@pytest.mark.parametrize("bim", [False, True], ids=["hom", "bim"])
 def test_heat_mass_kernels_parity(bim):
     """PallasLevel with the pattern-independent mass triple runs the heat
     theta-system  B = M + theta dt K  (ops/heat.py): every fused leg must
