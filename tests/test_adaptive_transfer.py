@@ -1,0 +1,187 @@
+"""Content-adaptive (operator-induced / BoxMG) transfer operators
+(ops/adaptive_transfer.py): classical-pair equivalence on homogeneous
+operators, exact adjointness R = P^T, Galerkin coarse-stencil correctness,
+and the capability claim — full-depth interface-problem V-cycles at
+homogeneous-problem convergence factors, where the reference's linear
+transfers give q ~ 0.66 (reference: MM_Interface_error.ipynb cells 14/20)
+and its vendored-but-unused PACNet (Utils/pacnet/pac.py:690,740) gestured
+at content adaptivity."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multigrid_feanet_tpu.core.problem import Problem, GridHierarchy
+from multigrid_feanet_tpu.ops.adaptive_transfer import (
+    AdaptiveTransfer, BoxMG, GeneralLevel, galerkin_stencils,
+    general_coarse_inverse, node_stencils)
+from multigrid_feanet_tpu.ops.transfer import (restrict_full_weighting,
+                                               prolong_bilinear)
+from multigrid_feanet_tpu.solvers import multigrid as mg
+from multigrid_feanet_tpu.solvers import coarse as co
+from multigrid_feanet_tpu.solvers.jacobi import interior_norm, relax
+
+
+def _tail_q(hist, k=5):
+    return float(np.exp(np.mean(np.diff(np.log(np.asarray(hist) + 1e-30))[-k:])))
+
+
+def test_homogeneous_reduces_to_classical_pair():
+    """For the constant-coefficient stencil the operator-induced P is exactly
+    bilinear and R = P^T is exactly the reference's x4-scaled full-weighting
+    (MM_Model_convergence.ipynb cell 3) — the adaptive pair is a strict
+    generalization with the same scaling convention."""
+    n = 16
+    hier = GridHierarchy.create(Problem(n=n, dtype=jnp.float32))
+    lv = hier.finest
+    at = AdaptiveTransfer(node_stencils(lv), lv.geo, hier.levels[1].geo)
+    rng = np.random.default_rng(0)
+    uc = jnp.asarray(rng.standard_normal((n // 2 + 1,) * 2), jnp.float32)
+    uc = uc * hier.levels[1].geo
+    np.testing.assert_allclose(np.asarray(at.prolong(uc)),
+                               np.asarray(prolong_bilinear(uc, lv.geo)),
+                               atol=1e-6)
+    r = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32) * lv.geo
+    np.testing.assert_allclose(np.asarray(at.restrict(r)),
+                               np.asarray(4.0 * restrict_full_weighting(r)),
+                               atol=1e-5)
+
+
+def test_adjointness_bimaterial():
+    """<P u_c, r> == <u_c, R r> exactly (R is built as the transpose)."""
+    n = 32
+    hier = GridHierarchy.create(
+        Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5), dtype=jnp.float32))
+    lv = hier.finest
+    at = AdaptiveTransfer(node_stencils(lv), lv.geo, hier.levels[1].geo)
+    rng = np.random.default_rng(1)
+    uc = jnp.asarray(rng.standard_normal((n // 2 + 1,) * 2), jnp.float32)
+    uc = uc * hier.levels[1].geo
+    r = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32) * lv.geo
+    lhs = float(jnp.sum(at.prolong(uc) * r))
+    rhs = float(jnp.sum(uc * at.restrict(r)))
+    assert lhs == pytest.approx(rhs, rel=1e-4)
+
+
+def test_galerkin_stencils_match_dense_rap():
+    """Probed S_c == dense R A P computed column-by-column."""
+    n = 16
+    hier = GridHierarchy.create(
+        Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5), dtype=jnp.float32))
+    lv = hier.finest
+    at = AdaptiveTransfer(node_stencils(lv), lv.geo, hier.levels[1].geo)
+    m = n // 2 + 1
+    Sc = galerkin_stencils(lv.apply, at, m)
+    # dense check at a handful of coarse nodes
+    rng = np.random.default_rng(2)
+    for _ in range(4):
+        I, J = rng.integers(1, m - 1, 2)
+        e = np.zeros((m, m), np.float32)
+        e[I, J] = 1.0
+        col = np.asarray(at.restrict(lv.apply(at.prolong(jnp.asarray(e)))))
+        # column of RAP = action on the unit coarse vector; compare its 3x3
+        # neighbourhood against the probed stencils' rows referencing (I, J)
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                ii, jj = I + dr, J + dc
+                if 0 <= ii < m and 0 <= jj < m:
+                    # S_c[ii, jj, 1-dr, 1-dc] couples (ii,jj) to (I,J)
+                    assert col[ii, jj] == pytest.approx(
+                        float(Sc[ii, jj, 1 - dr, 1 - dc]), rel=1e-3,
+                        abs=1e-5)
+
+
+def test_galerkin_two_grid_beats_classical():
+    """Exact-coarse two-grid on the interface problem: the adaptive +
+    Galerkin pair contracts faster than the classical pair (reference
+    two-grid protocol: MM_Interface_twogrid_convergence.ipynb)."""
+    n = 32
+    hier = GridHierarchy.create(
+        Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5),
+                dtype=jnp.float32), num_levels=2)
+    lv, lvc = hier.levels
+    at = AdaptiveTransfer(node_stencils(lv), lv.geo, lvc.geo)
+    Sc = galerkin_stencils(lv.apply, at, n // 2 + 1)
+    inv_gal = general_coarse_inverse(GeneralLevel(Sc, lvc.geo))
+    inv_geom = co.coarse_inverse(lvc)
+    f = jnp.zeros((n + 1, n + 1), jnp.float32)
+    rng = np.random.default_rng(0)
+
+    def q_of(restrict, prolong, inv):
+        u = jnp.asarray(rng.standard_normal((n + 1, n + 1)),
+                        jnp.float32) * lv.geo
+        rs = []
+        for _ in range(15):
+            u = relax(lv, u, f, 1, 0.0)
+            fc = restrict((f - lv.apply(u)) * lv.geo)
+            u = u + prolong(co.coarse_solve(inv, fc))
+            u = relax(lv, u, f, 1, 0.0)
+            rs.append(float(interior_norm(f - lv.apply(u))))
+        return _tail_q(rs)
+
+    q_cl = q_of(lambda r: 4.0 * restrict_full_weighting(r),
+                lambda uc: prolong_bilinear(uc, lv.geo), inv_geom)
+    q_ad = q_of(at.restrict, at.prolong, inv_gal)
+    assert q_ad < q_cl - 0.05, (q_ad, q_cl)
+    assert q_ad < 0.30, q_ad
+
+
+def test_boxmg_interface_full_depth():
+    """Full-depth V(1,1) on the bi-material interface problem: adaptive +
+    Galerkin reaches near-homogeneous convergence (q ~ 0.3) where linear
+    transfers sit at ~0.55 (and the reference's interface study needed 14
+    cycles at q(7,3) = 0.662)."""
+    n = 64
+    prob = Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5),
+                   dtype=jnp.float32)
+    hier = GridHierarchy.create(prob)
+    f = jnp.zeros((n + 1, n + 1), jnp.float32)
+    rng = np.random.default_rng(0)
+    u0 = jnp.asarray(rng.standard_normal((n + 1, n + 1)),
+                     jnp.float32) * hier.finest.geo
+    _, h_lin = mg.solve(hier, f, u0=u0, nu1=1, nu2=1, eps=None, max_cycles=18)
+    bm = BoxMG(hier)
+    _, h_ad = bm.solve(f, u0=u0, eps=0.0, max_cycles=18)
+    q_lin, q_ad = _tail_q(h_lin), _tail_q(h_ad)
+    assert q_ad < 0.37, q_ad
+    assert q_ad < q_lin - 0.12, (q_ad, q_lin)
+
+
+def test_boxmg_homogeneous_matches_classical_vcycle():
+    """On the homogeneous problem the BoxMG cycle must reproduce the
+    classical V(1,1) factor (~0.26): transfers reduce to the classical pair
+    and the Galerkin operator of the FEM Laplacian re-discretizes."""
+    n = 32
+    hier = GridHierarchy.create(Problem(n=n, dtype=jnp.float32))
+    f = jnp.zeros((n + 1, n + 1), jnp.float32)
+    rng = np.random.default_rng(3)
+    u0 = jnp.asarray(rng.standard_normal((n + 1, n + 1)),
+                     jnp.float32) * hier.finest.geo
+    bm = BoxMG(hier)
+    _, h = bm.solve(f, u0=u0, eps=0.0, max_cycles=14)
+    assert _tail_q(h) < 0.30
+
+
+def test_boxmg_solves_to_oracle():
+    """Nonzero-f correctness: BoxMG solve on the interface problem matches
+    the dense-FEM partition solve (data/fem.py oracle)."""
+    from multigrid_feanet_tpu.data import fem
+
+    n = 32
+    prob = Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5),
+                   dtype=jnp.float32)
+    hier = GridHierarchy.create(prob)
+    from multigrid_feanet_tpu.ops.stencil import apply_mass
+
+    rng = np.random.default_rng(4)
+    F = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    ff = apply_mass(F, hier.finest.h)
+    bm = BoxMG(hier)
+    u, hist = bm.solve(ff, eps=1e-8, max_cycles=60)
+    u_ref = fem.solve_dirichlet(n, np.asarray(F, np.float64),
+                                phase=prob.phase(n),
+                                coefficients=prob.coefficients)
+    err = np.max(np.abs(np.asarray(u) - u_ref)) / max(
+        1e-12, float(np.max(np.abs(u_ref))))
+    assert err < 5e-4, err
