@@ -47,7 +47,7 @@ per-cycle work is 9-tap elementwise math, fully fusable by XLA.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax
