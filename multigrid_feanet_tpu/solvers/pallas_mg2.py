@@ -310,6 +310,10 @@ class PallasHierarchyV2:
             return u, trim_history(hist, eps)
 
         key = ("solve", nu1, nu2, float(eps), max_cycles, chunk)
+        return self._solve_plain(key, f, u0, nu1, nu2, eps, max_cycles, chunk)
+
+    def _solve_plain(self, key, f, u0, nu1, nu2, eps, max_cycles, chunk):
+        p0 = self.pl[0]
         if key not in self._compiled:
 
             @jax.jit
@@ -345,3 +349,78 @@ class PallasHierarchyV2:
         # ONE host fetch: derive the cycle count from the history itself.
         # hist[i] = residual after i cycles (hist[0] = initial residual).
         return u, trim_history(hist, eps)
+
+    def solve_pcg(self, f, u0=None, bc_value=None, nu1: int = 1,
+                  nu2: int = 1, eps: float = 1e-6, max_iters: int = 60):
+        """Flexible-CG accelerated solve with one fused V(nu1, nu2) cycle
+        (from zero — the zero-guess legs) as the preconditioner; the scalar
+        twin of solvers/elastic.py::solve_pcg.
+
+        On the bi-material interface problem the V-cycle factor degrades
+        with n (bilinear transfers kink across the 20:1 jump; see
+        ops/adaptive_transfer.py for the training-free fix at research
+        scale), and the operator is SPD, so Krylov acceleration contracts
+        ~sqrt of the cycle's error factor per iteration at ~1.4 cycles of
+        cost (one V-cycle + one fused A-apply + one fused true-residual
+        pass — residual replacement every iteration, so the returned u's
+        residual IS history[-1]).  Whole solve = ONE jitted while_loop.
+
+        Returns (u, history), history[j] = interior residual norm after
+        iteration j+1 (post-iteration; no free-residual lag)."""
+        lv0, p0 = self.hier.finest, self.pl[0]
+        if u0 is None:
+            u0 = jnp.zeros_like(f)
+        u0 = reset_boundary(u0, lv0.geo, 0.0 if bc_value is None else bc_value)
+
+        key = ("pcg", nu1, nu2, float(eps), max_iters)
+        if key not in self._compiled:
+
+            def dot(a, b):
+                return jnp.sum(a * b)
+
+            @jax.jit
+            def run(u0_plain, f_plain):
+                ub = p0.pad(u0_plain)
+                fb = p0.pad(f_plain)
+                rb, rsq0 = p0.residual(ub, fb)
+                zb = self._coarse_correction(0, rb, nu1, nu2)
+                pb = zb
+                rz = dot(p0.unpad(zb), p0.unpad(rb))
+                hist0 = jnp.full((max_iters,), -1.0, jnp.float32)
+
+                def cond(c):
+                    ub, rb, pb, rz, k, res, hist = c
+                    return (res > eps) & (k < max_iters)
+
+                def body(c):
+                    ub, rb, pb, rz, k, res, hist = c
+                    # A p via the fused residual kernel with f = 0
+                    apb, _ = p0.residual(pb, p0.zeros())
+                    apb = -apb
+                    pap = dot(p0.unpad(pb), p0.unpad(apb))
+                    alpha = rz / pap
+                    ub = ub + alpha * pb
+                    r_old = p0.unpad(rb)
+                    # residual replacement: recompute the true r (and its
+                    # norm, free) with the fused kernel each iteration
+                    rb, rsq = p0.residual(ub, fb)
+                    res = jnp.sqrt(rsq).astype(jnp.float32)
+                    zb = self._coarse_correction(0, rb, nu1, nu2)
+                    z_pl = p0.unpad(zb)
+                    rz_new = dot(z_pl, p0.unpad(rb))
+                    # flexible (Polak-Ribiere) beta, clipped at zero
+                    beta = jnp.maximum((rz_new - dot(z_pl, r_old)) / rz, 0.0)
+                    pb = zb + beta * pb
+                    return (ub, rb, pb, rz_new, k + 1, res,
+                            hist.at[k].set(res))
+
+                ub, rb, pb, rz, k, res, hist = jax.lax.while_loop(
+                    cond, body,
+                    (ub, rb, pb, rz, jnp.int32(0),
+                     jnp.sqrt(rsq0).astype(jnp.float32), hist0))
+                return p0.unpad(ub), hist
+
+            self._compiled[key] = run
+        u, hist = self._compiled[key](u0, f)
+        vals = np.asarray(hist)
+        return u, vals[: int(np.sum(vals >= 0.0))]
