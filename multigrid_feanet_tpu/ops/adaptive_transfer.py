@@ -14,8 +14,11 @@ discover it.  Combined with Galerkin coarse operators (R A P, computed by
 HOMOGENEOUS problem's own convergence factors, h-independently and with no
 training (results/adaptive_transfer/summary.json): full-depth V(1,1)
 q 0.49-0.58 (linear) -> 0.30-0.32 (hom baseline 0.26) at n = 64..512, and
-on the reference's own interface protocol V(7,3) q 0.662 (reference:
-MM_Interface_error.ipynb cells 14/20) -> 0.076.  On the reference's mgTest
+on the interface V(7,3) protocol q 0.196 (like-for-like linear baseline,
+results/adaptive_transfer/summary.json interface_v73_n64.q_linear) -> 0.076;
+the reference's own quirk cycle (pre-smoothing grids[0] at every level,
+MM_Interface_error.ipynb cells 14/20) reads 0.662 on the same problem and is
+reproduced separately in tests/test_interface_parity.py.  On the reference's mgTest
 evaluator it scores q(n=64) = 0.428 (f64 — the f32 floor corrupts the
 ratio window), beating every *trained* inter-grid operator on the
 leaderboard: linear 0.633, best imported reference checkpoint 0.569, our

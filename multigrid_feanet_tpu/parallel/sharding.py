@@ -278,7 +278,7 @@ def sharded_hnet_train_step(mesh: Mesh):
 
 from functools import partial as _partial
 
-from jax.experimental.shard_map import shard_map as _shard_map
+from jax import shard_map as _shard_map
 
 from multigrid_feanet_tpu.ops import stencil as _stencil
 

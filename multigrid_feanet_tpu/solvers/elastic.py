@@ -400,11 +400,17 @@ def _emg_solve_pcg(self, f, u0=None, nu1: int = 2, nu2: int = 2,
             hist0 = jnp.full((max_iters,), -1.0, jnp.float32)
 
             def cond(c):
-                ub, rb, pb, rz, k, res, hist = c
-                return (res > eps) & (k < max_iters)
+                ub, rb, pb, rz, k, res, best, hist = c
+                # breakdown guards (shared convention with the scalar twin,
+                # pallas_mg2.solve_pcg): at the f32 floor the Krylov
+                # recurrences turn to noise and CG diverges — stop when the
+                # residual has grown 4x above the best seen or the
+                # preconditioned inner product loses positivity.
+                return ((res > eps) & (k < max_iters) & (rz > 0.0)
+                        & (res < 4.0 * best))
 
             def body(c):
-                ub, rb, pb, rz, k, res, hist = c
+                ub, rb, pb, rz, k, res, best, hist = c
                 apx, apy = _emg_apply(self, pb[0], pb[1])
                 p_pl = p0.unpad(*pb)
                 pap = dot(p_pl, p0.unpad(apx, apy))
@@ -420,17 +426,22 @@ def _emg_solve_pcg(self, f, u0=None, nu1: int = 2, nu2: int = 2,
                 res = jnp.sqrt(rsq).astype(jnp.float32)
                 zb = precond(rb[0], rb[1])
                 z_pl = p0.unpad(*zb)
-                # flexible (Polak-Ribiere) beta
+                # flexible (Polak-Ribiere) beta, clipped at zero: the PR+
+                # convention — a negative beta signals lost conjugacy under
+                # the varying preconditioner, and restarting with p = z
+                # keeps p a descent direction.  Library-wide convention,
+                # shared with the scalar twin (pallas_mg2.solve_pcg).
                 rz_new = dot(z_pl, r_pl)
-                beta = (rz_new - dot(z_pl, r_old)) / rz
+                beta = jnp.maximum((rz_new - dot(z_pl, r_old)) / rz, 0.0)
                 pb = (zb[0] + beta * pb[0], zb[1] + beta * pb[1])
                 return (ub, rb, pb, rz_new, k + 1, res,
-                        hist.at[k].set(res))
+                        jnp.minimum(best, res), hist.at[k].set(res))
 
-            ub, rb, pb, rz, k, res, hist = jax.lax.while_loop(
+            ub, rb, pb, rz, k, res, best, hist = jax.lax.while_loop(
                 cond, body,
                 (ub, (mrx, mry), pb, rz, jnp.int32(0),
-                 jnp.sqrt(rsq0).astype(jnp.float32), hist0))
+                 jnp.sqrt(rsq0).astype(jnp.float32),
+                 jnp.float32(jnp.inf), hist0))
             return p0.unpad(*ub), hist
 
         self._compiled[key] = run

@@ -389,11 +389,17 @@ class PallasHierarchyV2:
                 hist0 = jnp.full((max_iters,), -1.0, jnp.float32)
 
                 def cond(c):
-                    ub, rb, pb, rz, k, res, hist = c
-                    return (res > eps) & (k < max_iters)
+                    ub, rb, pb, rz, k, res, best, hist = c
+                    # breakdown guards: once the true residual hits the f32
+                    # floor the Krylov recurrences turn to noise and CG
+                    # DIVERGES (unlike the monotone V-cycle) — stop when the
+                    # residual has grown 4x above the best seen, or when the
+                    # preconditioned inner product loses positivity.
+                    return ((res > eps) & (k < max_iters) & (rz > 0.0)
+                            & (res < 4.0 * best))
 
                 def body(c):
-                    ub, rb, pb, rz, k, res, hist = c
+                    ub, rb, pb, rz, k, res, best, hist = c
                     # A p via the fused residual kernel with f = 0
                     apb, _ = p0.residual(pb, p0.zeros())
                     apb = -apb
@@ -408,16 +414,20 @@ class PallasHierarchyV2:
                     zb = self._coarse_correction(0, rb, nu1, nu2)
                     z_pl = p0.unpad(zb)
                     rz_new = dot(z_pl, p0.unpad(rb))
-                    # flexible (Polak-Ribiere) beta, clipped at zero
+                    # flexible (Polak-Ribiere) beta, clipped at zero: PR+ —
+                    # the library-wide convention (negative beta = lost
+                    # conjugacy under the varying preconditioner; restart
+                    # with p = z).  Shared with elastic.solve_pcg.
                     beta = jnp.maximum((rz_new - dot(z_pl, r_old)) / rz, 0.0)
                     pb = zb + beta * pb
                     return (ub, rb, pb, rz_new, k + 1, res,
-                            hist.at[k].set(res))
+                            jnp.minimum(best, res), hist.at[k].set(res))
 
-                ub, rb, pb, rz, k, res, hist = jax.lax.while_loop(
+                ub, rb, pb, rz, k, res, best, hist = jax.lax.while_loop(
                     cond, body,
                     (ub, rb, pb, rz, jnp.int32(0),
-                     jnp.sqrt(rsq0).astype(jnp.float32), hist0))
+                     jnp.sqrt(rsq0).astype(jnp.float32),
+                     jnp.float32(jnp.inf), hist0))
                 return p0.unpad(ub), hist
 
             self._compiled[key] = run
