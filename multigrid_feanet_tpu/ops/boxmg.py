@@ -240,11 +240,15 @@ def galerkin_rap(S: jax.Array, W4: jax.Array) -> jax.Array:
     m = (S.shape[0] - 1) // 2 + 1
     dtype = W4.dtype
     I = jnp.arange(m)
-    ys = {}
-    for a in range(3):
-        for b in range(3):
-            e = ((I[:, None] % 3 == a) & (I[None, :] % 3 == b)).astype(dtype)
-            ys[(a, b)] = restrict_w4(apply_s9(S, prolong_w4(e, W4)), W4)
+    # all nine probes through ONE vmapped R A P trace (a 9x smaller traced
+    # program than nine sequential probes — XLA compile time at deep
+    # hierarchies is the setup cost, the compute itself is trivial)
+    probes = jnp.stack(
+        [((I[:, None] % 3 == a) & (I[None, :] % 3 == b)).astype(dtype)
+         for a in range(3) for b in range(3)])
+    ys_all = jax.vmap(
+        lambda e: restrict_w4(apply_s9(S, prolong_w4(e, W4)), W4))(probes)
+    ys = {(a, b): ys_all[3 * a + b] for a in range(3) for b in range(3)}
     cols = []
     for dr in range(3):
         row_entries = []
@@ -266,12 +270,15 @@ def _ring_mask(m: int, dtype) -> jax.Array:
     return g.at[1:-1, 1:-1].set(1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
-def _setup_from_s0(S0, geos, L):
-    """(W4_l, S_{l+1}) for l = 0..L-2 in one traced program.  ``geos`` is a
-    tuple of per-level interior masks (finest first, length >= L)."""
+@functools.partial(jax.jit, static_argnames=("L", "dtype"))
+def _setup_jit(fine, geos, L, dtype):
+    """(W4_l, S_{l+1}) for l = 0..L-2 in ONE traced program (the fine-level
+    stencil-field materialization included — eager device ops pay an XLA
+    compile + dispatch per op through the remote-TPU tunnel).  ``fine`` is
+    the finest Level (a flax.struct pytree); ``geos`` per-level interior
+    masks (finest first, length >= L)."""
+    S = node_stencil_planes(fine, dtype)
     outs = []
-    S = S0
     for l in range(L - 1):
         W4 = transfer_weights(S, geos[l], geos[l + 1])
         Sc = galerkin_rap(S, W4)
@@ -294,11 +301,10 @@ def boxmg_setup(hier, num_levels: Optional[int] = None, dtype=None):
     L = num_levels if num_levels is not None else hier.num_levels
     fine = hier.levels[0]
     dtype = dtype or fine.geo.dtype
-    S0 = node_stencil_planes(fine, dtype)
     geos = []
     for l in range(L):
         if l < hier.num_levels:
             geos.append(hier.levels[l].geo.astype(dtype))
         else:
             geos.append(_ring_mask((fine.n >> l) + 1, dtype))
-    return list(_setup_from_s0(S0, tuple(geos), L))
+    return list(_setup_jit(fine, tuple(geos), L, jnp.dtype(dtype)))

@@ -14,9 +14,10 @@ New ingredients over the fixed-stencil family:
 - **9-plane operator streams.**  A general level's operator is a per-node
   (3, 3) stencil stored as a (9, Hp + 2R, Wp) plane stack in the level's
   own layout; ``A u`` is 9 FMAs against a rolled/row-shifted u window.
-  The CENTER plane (index 4) is padded with ONES outside the grid so the
-  Jacobi ``omega / d`` never divides by zero (ops/boxmg.py guards the
-  Dirichlet-ring centers the same way).  Plane stacks may be stored bf16
+  The Jacobi ``omega / d`` guards the centre plane in-register
+  (``_guard_d``) — outside-the-grid coefficient slots are zero, and
+  ops/boxmg.py guards the Dirichlet-ring centers at setup.  Plane stacks
+  may be stored bf16
   (``coef_dtype``): the kernels cast to f32 on load — transfers and coarse
   operators are preconditioner-side, so storage rounding perturbs the
   cycle, not the fixed point (level 0 keeps the EXACT int8-phase
@@ -462,3 +463,446 @@ def _zgpsweep_kernel(f_ref, s9_ref, w4_ref, uc_ref, dst_ref, bnd_ref, u_out,
     ucc[0:1, :] = jnp.where(i == 0, jnp.zeros((1, Wp), jnp.float32),
                             ucc[R // 2 : R // 2 + 1, :])
     ucc[1 : R // 2 + 1, :] = uc_ref[...].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Module-level jitted entry points.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "H", "W", "Wp", "omega", "s", "mode", "interpret", "vmem_mb",
+    "own_rows"))
+def _run_gsweep(u_pad, f_pad, s9_pad, dst, bnd, *, R, H, W, Wp, omega, s,
+                mode, interpret, vmem_mb=None, own_rows=None):
+    nb = (u_pad.shape[0] - 2 * R) // R
+    if bnd is None:
+        bnd = _default_bounds(H, W)
+    kern = functools.partial(
+        _gsweep_kernel, R=R, H=H, W=W, Wp=Wp, omega=omega, s=s, nb=nb,
+        own_hi=(own_rows if own_rows is not None else nb * R) - 1, mode=mode)
+    out, rsq = pl.pallas_call(
+        kern,
+        grid=(nb + 1,),
+        in_specs=[_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 0),
+                  _plane_spec(9, R, Wp, 0),
+                  pl.BlockSpec(memory_space=pl.ANY), _SMEM_SPEC],
+        out_specs=[
+            pl.BlockSpec((R, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(u_pad.shape, u_pad.dtype),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((R + 2, Wp), jnp.float32)],
+        input_output_aliases={3: 0},
+        interpret=interpret,
+        compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb) << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * (u_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=(3 * u_pad.dtype.itemsize
+                            + 9 * s9_pad.dtype.itemsize)
+            * (u_pad.shape[0] - 2 * R) * Wp,
+            transcendentals=0,
+        ),
+    )(u_pad, f_pad, s9_pad, dst, bnd)
+    return out, jnp.sum(rsq)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "H", "W", "Wp", "a0", "da", "mass", "omega", "s", "Rc", "bim",
+    "out_rows", "own_rows", "interpret", "vmem_mb"))
+def _run_gswrr(u_pad, f_pad, op_pad, w4_pad, dst, bnd, *, R, H, W, Wp, a0,
+               da, mass, omega, s, Rc, bim, interpret, vmem_mb=None,
+               out_rows=None, own_rows=None):
+    nb = (u_pad.shape[0] - 2 * R) // R
+    if out_rows is None:
+        Hc = (H - 1) // 2 + 1
+        out_rows = _round_up(Hc, Rc) + 2 * Rc
+    if bnd is None:
+        bnd = _default_bounds(H, W)
+    assert (2 * Rc) % R == 0
+    idx_off = 2 * Rc // R - 1
+    assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
+    kern = functools.partial(
+        _gswrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, mass=mass,
+        omega=omega, s=s, nb=nb,
+        own_hi=(own_rows if own_rows is not None else nb * R) - 2, bim=bim)
+    op_spec = (_lagged_spec(R, Wp, 1) if bim else _plane_spec(9, R, Wp, 1))
+    op_scratch = (pltpu.VMEM((R + 3, Wp), jnp.int8) if bim
+                  else pltpu.VMEM((9, R + 2, Wp), jnp.float32))
+    u1, fc, rsq = pl.pallas_call(
+        kern,
+        grid=(nb + 1,),
+        in_specs=[_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 1), op_spec,
+                  _plane_spec(4, R, Wp, 0),
+                  pl.BlockSpec(memory_space=pl.ANY), _SMEM_SPEC],
+        out_specs=[
+            pl.BlockSpec((R, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _lagged_spec(R // 2, Wp, idx_off),
+            pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(u_pad.shape, u_pad.dtype),
+            jax.ShapeDtypeStruct((out_rows, Wp), u_pad.dtype),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R + 4, Wp), jnp.float32),
+            pltpu.VMEM((R + 2, Wp), jnp.float32),
+            op_scratch,
+            pltpu.VMEM((4, 1, Wp), jnp.float32),
+            pltpu.VMEM((1, Wp), jnp.float32),
+        ],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+        compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb) << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=(90 if bim else 70) * (u_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=(
+                3 * u_pad.dtype.itemsize + 2
+                + (1 if bim else 9 * op_pad.dtype.itemsize)
+                + 4 * w4_pad.dtype.itemsize) * (u_pad.shape[0] - 2 * R) * Wp,
+            transcendentals=0,
+        ),
+    )(u_pad, f_pad, op_pad, w4_pad, dst, bnd)
+    # Same ghost-block invariant as pallas_sweep._run_rr: fc blocks outside
+    # [idx_off, nb + idx_off] are never written; consumers must where-mask.
+    return u1, fc, jnp.sum(rsq)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "H", "W", "Wp", "a0", "da", "mass", "omega", "s", "R_up", "bim",
+    "interpret", "vmem_mb"))
+def _run_gpsweep(u_pad, f_pad, op_pad, w4_pad, uc_pad, dst, bnd, *, R, H, W,
+                 Wp, a0, da, mass, omega, s, R_up, bim, interpret,
+                 vmem_mb=None):
+    nb = (u_pad.shape[0] - 2 * R) // R
+    if bnd is None:
+        bnd = _default_bounds(H, W)
+    assert (2 * R_up) % R == 0
+    kern = functools.partial(
+        _gpsweep_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, mass=mass,
+        omega=omega, s=s, nb=nb, bim=bim)
+    op_spec = (_lagged_spec(R, Wp, 0) if bim else _plane_spec(9, R, Wp, 0))
+    op_scratch = (pltpu.VMEM((1, Wp), jnp.int8) if bim
+                  else pltpu.VMEM((1, Wp), jnp.int8))  # dummy when general
+    out = pl.pallas_call(
+        kern,
+        grid=(nb + 1,),
+        in_specs=[_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 0), op_spec,
+                  _plane_spec(4, R, Wp, 1),
+                  _lagged_spec(R // 2, Wp, 2 * R_up // R),
+                  pl.BlockSpec(memory_space=pl.ANY), _SMEM_SPEC],
+        out_specs=pl.BlockSpec((R, Wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(u_pad.shape, u_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + 2, Wp), jnp.float32),
+            op_scratch,
+            pltpu.VMEM((4, R + 2, Wp), jnp.float32),
+            pltpu.VMEM((R // 2 + 2, Wp), jnp.float32),
+        ],
+        input_output_aliases={5: 0},
+        interpret=interpret,
+        compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb) << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=(60 if bim else 45) * (u_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=(
+                3 * u_pad.dtype.itemsize + 2
+                + (1 if bim else 9 * op_pad.dtype.itemsize)
+                + 4 * w4_pad.dtype.itemsize) * (u_pad.shape[0] - 2 * R) * Wp,
+            transcendentals=0,
+        ),
+    )(u_pad, f_pad, op_pad, w4_pad, uc_pad, dst, bnd)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "H", "W", "Wp", "omega", "s", "Rc", "out_rows", "interpret",
+    "vmem_mb"))
+def _run_zgwrr(f_pad, s9_pad, w4_pad, bnd, *, R, H, W, Wp, omega, s, Rc,
+               interpret, vmem_mb=None, out_rows=None):
+    nb = (f_pad.shape[0] - 2 * R) // R
+    if out_rows is None:
+        Hc = (H - 1) // 2 + 1
+        out_rows = _round_up(Hc, Rc) + 2 * Rc
+    if bnd is None:
+        bnd = _default_bounds(H, W)
+    assert (2 * Rc) % R == 0
+    idx_off = 2 * Rc // R - 1
+    assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
+    kern = functools.partial(_zgwrr_kernel, R=R, H=H, W=W, Wp=Wp, omega=omega,
+                             s=s, nb=nb)
+    fc = pl.pallas_call(
+        kern,
+        grid=(nb + 1,),
+        in_specs=[_lagged_spec(R, Wp, 1), _plane_spec(9, R, Wp, 1),
+                  _plane_spec(4, R, Wp, 0), _SMEM_SPEC],
+        out_specs=_lagged_spec(R // 2, Wp, idx_off),
+        out_shape=jax.ShapeDtypeStruct((out_rows, Wp), f_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + 3, Wp), jnp.float32),
+            pltpu.VMEM((9, R + 3, Wp), jnp.float32),
+            pltpu.VMEM((4, 1, Wp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb) << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=55 * (f_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=(f_pad.dtype.itemsize + 2
+                            + 9 * s9_pad.dtype.itemsize
+                            + 4 * w4_pad.dtype.itemsize)
+            * (f_pad.shape[0] - 2 * R) * Wp,
+            transcendentals=0,
+        ),
+    )(f_pad, s9_pad, w4_pad, bnd)
+    return fc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "H", "W", "Wp", "omega", "s", "R_up", "interpret", "vmem_mb"))
+def _run_zgpsweep(f_pad, s9_pad, w4_pad, uc_pad, dst, bnd, *, R, H, W, Wp,
+                  omega, s, R_up, interpret, vmem_mb=None):
+    nb = (f_pad.shape[0] - 2 * R) // R
+    if bnd is None:
+        bnd = _default_bounds(H, W)
+    assert (2 * R_up) % R == 0
+    kern = functools.partial(_zgpsweep_kernel, R=R, H=H, W=W, Wp=Wp,
+                             omega=omega, s=s, nb=nb)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb + 1,),
+        in_specs=[_lagged_spec(R, Wp, 1), _plane_spec(9, R, Wp, 1),
+                  _plane_spec(4, R, Wp, 1),
+                  _lagged_spec(R // 2, Wp, 2 * R_up // R),
+                  pl.BlockSpec(memory_space=pl.ANY), _SMEM_SPEC],
+        out_specs=pl.BlockSpec((R, Wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(dst.shape, f_pad.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((R + 2, Wp), jnp.float32),
+            pltpu.VMEM((9, R + 2, Wp), jnp.float32),
+            pltpu.VMEM((4, R + 2, Wp), jnp.float32),
+            pltpu.VMEM((R // 2 + 2, Wp), jnp.float32),
+        ],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+        compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb) << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=45 * (f_pad.shape[0] - 2 * R) * Wp,
+            bytes_accessed=(2 * f_pad.dtype.itemsize + 2
+                            + 9 * s9_pad.dtype.itemsize
+                            + 4 * w4_pad.dtype.itemsize)
+            * (f_pad.shape[0] - 2 * R) * Wp,
+            transcendentals=0,
+        ),
+    )(f_pad, s9_pad, w4_pad, uc_pad, dst, bnd)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side level wrapper.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("R", "s", "Hp", "Wp", "dtype"))
+def _pad_planes(planes, R, s, Hp, Wp, dtype):
+    """(K, H, W) compact planes -> (K, Hp + 2R, Wp) ghost-block stride-lane
+    buffers by pure pad + reshape (a strided .at[...].set scatter at these
+    shapes costs tens of seconds of XLA compile per level through the
+    remote tunnel).  Out-of-grid coefficient slots are ZERO — every kernel
+    guards the Jacobi diagonal in-register (_guard_d), so a zero centre
+    never divides."""
+    K, Hh, Ww = planes.shape
+    x = planes.astype(dtype)[..., None]
+    if s > 1:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, s - 1)))
+    # trim the expansion past the LAST data lane ((W-1)s + 1 lanes used):
+    # W*s may exceed Wp at deep strides even though the data lanes fit
+    x = x.reshape(K, Hh, Ww * s)[:, :, : (Ww - 1) * s + 1]
+    return jnp.pad(x, ((0, 0), (R, Hp + R - Hh),
+                       (0, Wp - (Ww - 1) * s - 1)))
+
+
+class GeneralPallasLevel:
+    """Kernels + ghost-block stride-lane layout for one BoxMG level.
+
+    Operator: either the exact bi-material element-phase form (``phase`` +
+    ``coefficients``/``mass`` — level 0) or a general per-node stencil
+    field (``s9``: compact (H, W, 3, 3) — Galerkin coarse levels, stored
+    as 9 planes in ``coef_dtype``).  ``w4``: this level's compact
+    (H, W, 2, 2) operator-induced transfer weights (ops/boxmg.py), stored
+    as 4 planes in ``coef_dtype``; None at the coarsest Pallas level.
+    """
+
+    def __init__(self, n: int, stride: int = 1, s9=None, phase=None,
+                 coefficients=(1.0, 20.0), mass=None, w4=None,
+                 omega: float = 2.0 / 3.0, Wp: Optional[int] = None,
+                 rows: int = 64, rows_next: Optional[int] = None,
+                 interpret: Optional[bool] = None, dtype=jnp.float32,
+                 coef_dtype=jnp.float32, vmem_mb: Optional[int] = 96):
+        assert s9 is None or phase is None, "pass s9 OR phase, not both"
+        self.n = n
+        self.H = self.W = n + 1
+        self.s = int(stride)
+        self.R = int(rows)
+        self.Rc = int(rows_next if rows_next is not None else rows)
+        assert self.R % 32 == 0 and (2 * self.Rc) % self.R == 0
+        self.Wp = Wp or _round_up(self.W * self.s, 128)
+        assert (self.W - 1) * self.s < self.Wp
+        self.Hp = _round_up(self.H, self.R)
+        self.nb = self.Hp // self.R
+        self.omega = float(omega)
+        self.dtype = dtype
+        self.mass = tuple(float(m) for m in mass) if mass is not None else None
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = bool(interpret)
+        self.vmem_mb = vmem_mb
+        self.bim = s9 is None
+        if self.bim:
+            # exact two-phase operator: int8 element-phase stream (zeros =
+            # homogeneous, so a0 carries the whole operator)
+            self.a0 = float(coefficients[0])
+            self.da = float(coefficients[1]) - float(coefficients[0])
+            ph_np = (np.zeros((n, n), np.int8) if phase is None
+                     else np.asarray(phase, np.int8))
+            buf = np.zeros(self.buf_shape, np.int8)
+            buf[self.R : self.R + n, 0 : n * self.s : self.s] = ph_np
+            self.op_pad = jnp.asarray(buf)
+        else:
+            self.a0, self.da = 0.0, 0.0
+            planes = jnp.transpose(s9.reshape(self.H, self.W, 9), (2, 0, 1))
+            self.op_pad = _pad_planes(planes, R=self.R, s=self.s, Hp=self.Hp,
+                                      Wp=self.Wp, dtype=coef_dtype)
+        if w4 is not None:
+            planes = jnp.transpose(w4.reshape(self.H, self.W, 4), (2, 0, 1))
+            self.w4_pad = _pad_planes(planes, R=self.R, s=self.s, Hp=self.Hp,
+                                      Wp=self.Wp, dtype=coef_dtype)
+        else:
+            self.w4_pad = None
+
+    # ---- layout (identical to ops/pallas_sweep.PallasLevel) ----
+
+    @property
+    def buf_shape(self):
+        return (self.Hp + 2 * self.R, self.Wp)
+
+    def zeros(self):
+        return jnp.zeros(self.buf_shape, self.dtype)
+
+    def pad(self, x, dtype=None):
+        dtype = dtype or self.dtype
+        h, w = x.shape
+        out = jnp.zeros(self.buf_shape, dtype)
+        return out.at[self.R : self.R + h, 0 : w * self.s : self.s].set(
+            x.astype(dtype))
+
+    def unpad(self, x):
+        return x[self.R : self.R + self.H,
+                 0 : (self.W - 1) * self.s + 1 : self.s]
+
+    def _cfg(self):
+        return dict(R=self.R, H=self.H, W=self.W, Wp=self.Wp,
+                    omega=self.omega, s=self.s, interpret=self.interpret)
+
+    # ---- kernels ----
+
+    def sweep(self, u_pad, f_pad, dst=None, bnd=None, op_pad=None):
+        """Weighted-Jacobi sweep -> (u_new, pre-update rsq).  Bi-material
+        levels delegate to the exact fixed-family kernel
+        (pallas_sweep._run_sweep); general levels run the 9-plane kernel.
+
+        ``op_pad``/``w4_pad`` overrides (here and in every method below):
+        pass the level's plane buffers as explicit JITTED-FUNCTION
+        ARGUMENTS — a closed-over multi-hundred-MB device array is inlined
+        into the program as an HLO constant, which the remote-compile
+        tunnel rejects outright (HTTP 413)."""
+        if dst is None:
+            dst = self.zeros()
+        if op_pad is None:
+            op_pad = self.op_pad
+        if self.bim:
+            from multigrid_feanet_tpu.ops.pallas_sweep import _run_sweep
+
+            return _run_sweep(u_pad, f_pad, op_pad, None, dst, None,
+                              None, bnd, a0=self.a0, da=self.da,
+                              mass=self.mass, mode="sweep", R_up=0,
+                              vmem_mb=self.vmem_mb, **self._cfg())
+        return _run_gsweep(u_pad, f_pad, op_pad, dst, bnd, mode="sweep",
+                           vmem_mb=self.vmem_mb, **self._cfg())
+
+    def residual(self, u_pad, f_pad, dst=None, bnd=None, op_pad=None):
+        if dst is None:
+            dst = self.zeros()
+        if op_pad is None:
+            op_pad = self.op_pad
+        if self.bim:
+            from multigrid_feanet_tpu.ops.pallas_sweep import _run_sweep
+
+            return _run_sweep(u_pad, f_pad, op_pad, None, dst, None,
+                              None, bnd, a0=self.a0, da=self.da,
+                              mass=self.mass, mode="residual", R_up=0,
+                              vmem_mb=self.vmem_mb, **self._cfg())
+        return _run_gsweep(u_pad, f_pad, op_pad, dst, bnd,
+                           mode="residual", vmem_mb=self.vmem_mb,
+                           **self._cfg())
+
+    def swrr(self, u_pad, f_pad, dst=None, bnd=None,
+             out_rows: Optional[int] = None, op_pad=None, w4_pad=None):
+        """Fused descent leg: pre-smooth + residual + W4 restriction
+        -> (u1, f_c, rsq).  rsq is the free PRE-sweep residual norm^2."""
+        if dst is None:
+            dst = self.zeros()
+        cfg = self._cfg()
+        return _run_gswrr(u_pad, f_pad,
+                          self.op_pad if op_pad is None else op_pad,
+                          self.w4_pad if w4_pad is None else w4_pad,
+                          dst, bnd,
+                          a0=self.a0, da=self.da, mass=self.mass,
+                          Rc=self.Rc, bim=self.bim, vmem_mb=self.vmem_mb,
+                          out_rows=out_rows, **cfg)
+
+    def psweep(self, u_pad, f_pad, uc_pad, R_up: Optional[int] = None,
+               dst=None, bnd=None, op_pad=None, w4_pad=None):
+        """Fused ascent leg: W4 prolongation-add + post-smooth -> u_new."""
+        if dst is None:
+            dst = self.zeros()
+        return _run_gpsweep(u_pad, f_pad,
+                            self.op_pad if op_pad is None else op_pad,
+                            self.w4_pad if w4_pad is None else w4_pad,
+                            uc_pad, dst, bnd,
+                            a0=self.a0, da=self.da, mass=self.mass,
+                            R_up=int(R_up if R_up is not None else self.Rc),
+                            bim=self.bim, vmem_mb=self.vmem_mb, **self._cfg())
+
+    def zwrr(self, f_pad, bnd=None, out_rows: Optional[int] = None,
+             op_pad=None, w4_pad=None):
+        """Zero-initial-guess descent leg (general operator only)."""
+        assert not self.bim
+        return _run_zgwrr(f_pad,
+                          self.op_pad if op_pad is None else op_pad,
+                          self.w4_pad if w4_pad is None else w4_pad,
+                          bnd, Rc=self.Rc,
+                          vmem_mb=self.vmem_mb, out_rows=out_rows,
+                          **self._cfg())
+
+    def zpsweep(self, f_pad, uc_pad, R_up: Optional[int] = None, dst=None,
+                bnd=None, op_pad=None, w4_pad=None):
+        """Zero-initial-guess ascent leg (general operator only)."""
+        assert not self.bim
+        if dst is None:
+            dst = self.zeros()
+        return _run_zgpsweep(f_pad,
+                             self.op_pad if op_pad is None else op_pad,
+                             self.w4_pad if w4_pad is None else w4_pad,
+                             uc_pad, dst, bnd,
+                             R_up=int(R_up if R_up is not None else self.Rc),
+                             vmem_mb=self.vmem_mb, **self._cfg())
