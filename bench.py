@@ -81,11 +81,21 @@ def main():
             ts[length] = best
         return (ts[lengths[1]] - ts[lengths[0]]) / (2 * (lengths[1] - lengths[0]))
 
+    # Primary row: the PLAIN element-factored sweep (dform=False) — valid
+    # as a standalone smoother and the r1..r4 continuity metric.  The
+    # production SOLVER default since round 5 is the difference-form
+    # kernel (dform=True, separate row below): its rounding scales with
+    # the local variation of u instead of its magnitude, which is what
+    # keeps V-cycles stable at 4097^2 (plain-form residuals destabilized
+    # the interface solve outright — see docs/kernel_notes_r5.md).
     phase = geometry.circle_phase(2.0, n)
     lv_bi = PallasLevel(n, stride=1, phase=phase, coefficients=(1.0, 20.0),
-                        interpret=False)
+                        interpret=False, dform=False)
     dt_bi = v2_sweep_time(lv_bi)
-    lv_ho = PallasLevel(n, stride=1, phase=None, interpret=False)
+    lv_bi_d = PallasLevel(n, stride=1, phase=phase, coefficients=(1.0, 20.0),
+                          interpret=False, dform=True)
+    dt_bi_d = v2_sweep_time(lv_bi_d)
+    lv_ho = PallasLevel(n, stride=1, phase=None, interpret=False, dform=False)
     dt_ho = v2_sweep_time(lv_ho)
     rate_bi, rate_ho = nnz / dt_bi, nnz / dt_ho
     # bf16-storage sweep (f32 in-kernel compute): halves the HBM stream of
@@ -148,6 +158,66 @@ def main():
             best = min(best, time.time() - t0)
         ts_fix[mc] = best
     ms_per_cycle = (ts_fix[24] - ts_fix[8]) / 16 * 1e3
+
+    # --- the bi-material INTERFACE problem at 4097^2 (the reference's
+    # flagship problem at framework scale — round 5): plain V(1,1),
+    # operator-induced BoxMG (Galerkin hierarchy, bf16 coefficient
+    # streams), and the one-jit device-resident BoxMG setup cost.
+    # f=0 random-init decay to 1e-6 absolute (the floor-free protocol).
+    # NOTE: at this size the interface V-cycle is only STABLE at all with
+    # the difference-form kernels (the production default) — the plain
+    # form's magnitude-scaled rounding bias, kappa-amplified through the
+    # coarse correction, diverges at q = 1.26 (docs/kernel_notes_r5.md).
+    from multigrid_feanet_tpu.core.problem import GridHierarchy as _GH
+    from multigrid_feanet_tpu.ops import boxmg as boxmg_mod
+    from multigrid_feanet_tpu.solvers.pallas_boxmg import PallasBoxMG
+
+    bi_prob0 = Problem(n=n, inclusion=("circle", (0.0, 0.0), 0.5),
+                       dtype=jnp.float32)
+    bi_hier = _GH.create(bi_prob0, 9)
+    ph_bi = PallasHierarchyV2(bi_prob0, num_levels=9, pallas_threshold=32,
+                              rows=64, rows_coarse=32, direct_coarse=True,
+                              hier=bi_hier)
+    u0bi = u0 * bi_hier.finest.geo
+    ph_bi.solve(f0, u0=u0bi, eps=1e-6, max_cycles=120, chunk=2)
+    t_vbi = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        uvb, hvb = ph_bi.solve(f0, u0=u0bi, eps=1e-6, max_cycles=120, chunk=2)
+        jax.block_until_ready(uvb)
+        t_vbi = min(t_vbi, time.time() - t0)
+    hvb = np.asarray(hvb)
+    q_vbi = float(np.exp(np.mean(np.diff(np.log(hvb + 1e-30))[-6:])))
+
+    t0 = time.time()
+    bx_setup = boxmg_mod.boxmg_setup(bi_hier, 9)
+    jax.block_until_ready(bx_setup[-1][1])
+    boxmg_setup_s = time.time() - t0  # includes the one-time XLA compile
+    t0 = time.time()
+    bm = PallasBoxMG(bi_prob0, num_levels=9, pallas_threshold=32, rows=64,
+                     rows_coarse=32, hier=bi_hier, setup=bx_setup,
+                     coef_dtype=jnp.bfloat16)
+    boxmg_build_s = time.time() - t0
+    bm.solve(f0, u0=u0bi, eps=1e-6, max_cycles=60, chunk=2)
+    t_bx = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        ubx, hbx = bm.solve(f0, u0=u0bi, eps=1e-6, max_cycles=60, chunk=2)
+        jax.block_until_ready(ubx)
+        t_bx = min(t_bx, time.time() - t0)
+    hbx = np.asarray(hbx)
+    q_bx = float(np.exp(np.mean(np.diff(np.log(hbx + 1e-30))[-6:])))
+    ts_bx = {}
+    for mc in (6, 18):
+        bm.solve(f0, u0=u0bi, eps=0.0, max_cycles=mc, chunk=2)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            uu, _ = bm.solve(f0, u0=u0bi, eps=0.0, max_cycles=mc, chunk=2)
+            jax.block_until_ready(uu)
+            best = min(best, time.time() - t0)
+        ts_bx[mc] = best
+    boxmg_ms_cycle = (ts_bx[18] - ts_bx[6]) / 12 * 1e3
 
     # --- heat theta-system on the fused Pallas kernels, 4097^2 ---
     # sweep: PallasLevel with the mass triple (M + theta dt K); march: 10
@@ -338,6 +408,8 @@ def main():
         "unit": "nnz/s",
         "vs_baseline": rate_bi / REF_CPU_NNZ_PER_S,
         "sweep_us_bimaterial": dt_bi * 1e6,
+        "sweep_us_bimaterial_dform": dt_bi_d * 1e6,
+        "nnz_per_s_bimaterial_dform": nnz / dt_bi_d,
         "sweep_us_homogeneous": dt_ho * 1e6,
         "nnz_per_s_homogeneous": rate_ho,
         "sweep_us_homogeneous_bf16": dt_ho16 * 1e6,
@@ -349,6 +421,15 @@ def main():
         "vcycle_4097_final_res": float(hist[-1]),
         "vcycle_4097_q": q,
         "vcycle_4097_ms_per_cycle_net": ms_per_cycle,
+        "vcycle_4097_bimaterial_s": t_vbi,
+        "vcycle_4097_bimaterial_cycles": len(hvb),
+        "vcycle_4097_bimaterial_q": q_vbi,
+        "boxmg_4097_s": t_bx,
+        "boxmg_4097_cycles": len(hbx),
+        "boxmg_4097_q": q_bx,
+        "boxmg_4097_ms_per_cycle": boxmg_ms_cycle,
+        "boxmg_4097_setup_s": boxmg_setup_s,
+        "boxmg_4097_build_s": boxmg_build_s,
         "heat_sweep_us_4097_bimaterial": heat_sweep_us,
         "heat_march_ms_per_step_4097": heat_march_ms,
         "elastic_sweep_us_2049_bimaterial": elastic_sweep_us,

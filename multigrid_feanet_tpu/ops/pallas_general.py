@@ -66,6 +66,7 @@ from multigrid_feanet_tpu.ops.pallas_sweep import (
     _DUMMY_SPEC,
     _SMEM_SPEC,
     _apply_bim,
+    _apply_op,
     _default_bounds,
     _diag_bim,
     _interior_mask,
@@ -200,7 +201,7 @@ def _gsweep_kernel(u_ref, f_ref, s9_ref, dst_ref, bnd_ref, u_out, rsq_ref,
 
 def _gswrr_kernel(u_ref, f_ref, op_ref, w4_ref, dst_ref, bnd_ref, u1_out,
                   fc_out, rsq_ref, uwin, fwin, opw, w4c, u1c, *, R, H, W, Wp,
-                  a0, da, mass, omega, s, nb, own_hi, bim):
+                  a0, da, mass, omega, s, nb, own_hi, bim, dform=False):
     """Grid step i emits u1 node rows [(i-1)R, iR) AND coarse rows
     [(i-1)R/2, iR/2) of f_c = P^T (f - A u1), u1 = jacobi_sweep(u0).
 
@@ -235,7 +236,7 @@ def _gswrr_kernel(u_ref, f_ref, op_ref, w4_ref, dst_ref, bnd_ref, u1_out,
     f0 = fwin[...]  # (R+2, Wp): f rows [row0 + 1, row0 + R + 3)
     if bim:
         phin = opw[...]  # (R+3, Wp): element rows [row0, row0 + R + 3)
-        au0, C4 = _apply_bim(uw, phin, R + 4, a0, da, s, mass=mass)
+        au0, C4 = _apply_op(uw, phin, R + 4, a0, da, s, mass, True, dform)
         d = _diag_bim(C4, mass)
     else:
         s9w = opw[...].astype(jnp.float32)  # (9, R+2, Wp): rows of f0
@@ -255,8 +256,8 @@ def _gswrr_kernel(u_ref, f_ref, op_ref, w4_ref, dst_ref, bnd_ref, u1_out,
     # residual of u1 on rows [(i-1)R - 1, iR - 1]
     u1buf = jnp.concatenate([u1c[...], u1full], axis=0)  # rows [(i-1)R-2, iR]
     if bim:
-        au1, _ = _apply_bim(u1buf, phin[0 : R + 2, :], R + 3, a0, da, s,
-                            mass=mass)
+        au1, _ = _apply_op(u1buf, phin[0 : R + 2, :], R + 3, a0, da, s,
+                           mass, True, dform)
     else:
         au1 = _apply_gen(u1buf, s9w[:, 0 : R + 1, :], R + 3, s)
     r1 = f0[0 : R + 1, :] - au1
@@ -301,7 +302,7 @@ def _gswrr_kernel(u_ref, f_ref, op_ref, w4_ref, dst_ref, bnd_ref, u1_out,
 
 def _gpsweep_kernel(u_ref, f_ref, op_ref, w4_ref, uc_ref, dst_ref, bnd_ref,
                     u_out, cache, opc, w4w, ucc, *, R, H, W, Wp, a0, da, mass,
-                    omega, s, nb, bim):
+                    omega, s, nb, bim, dform=False):
     """Grid step i emits node rows [(i-1)R, iR) of u3 = jacobi(u1 + P uc).
 
     u and w4 lag by one block; f (and bim phases / gen s9 planes) ride
@@ -330,7 +331,7 @@ def _gpsweep_kernel(u_ref, f_ref, op_ref, w4_ref, uc_ref, dst_ref, bnd_ref,
 
     if bim:
         ph_win = jnp.concatenate([opc[...], op_ref[...]], axis=0)
-        au, C4 = _apply_bim(u_win, ph_win, R + 2, a0, da, s, mass=mass)
+        au, C4 = _apply_op(u_win, ph_win, R + 2, a0, da, s, mass, True, dform)
         d = _diag_bim(C4, mass)
     else:
         s9 = op_ref[...].astype(jnp.float32)  # aligned to output rows
@@ -513,10 +514,10 @@ def _run_gsweep(u_pad, f_pad, s9_pad, dst, bnd, *, R, H, W, Wp, omega, s,
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "mass", "omega", "s", "Rc", "bim",
-    "out_rows", "own_rows", "interpret", "vmem_mb"))
+    "out_rows", "own_rows", "interpret", "vmem_mb", "dform"))
 def _run_gswrr(u_pad, f_pad, op_pad, w4_pad, dst, bnd, *, R, H, W, Wp, a0,
                da, mass, omega, s, Rc, bim, interpret, vmem_mb=None,
-               out_rows=None, own_rows=None):
+               out_rows=None, own_rows=None, dform=False):
     nb = (u_pad.shape[0] - 2 * R) // R
     if out_rows is None:
         Hc = (H - 1) // 2 + 1
@@ -529,7 +530,8 @@ def _run_gswrr(u_pad, f_pad, op_pad, w4_pad, dst, bnd, *, R, H, W, Wp, a0,
     kern = functools.partial(
         _gswrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, mass=mass,
         omega=omega, s=s, nb=nb,
-        own_hi=(own_rows if own_rows is not None else nb * R) - 2, bim=bim)
+        own_hi=(own_rows if own_rows is not None else nb * R) - 2, bim=bim,
+        dform=dform)
     op_spec = (_lagged_spec(R, Wp, 1) if bim else _plane_spec(9, R, Wp, 1))
     op_scratch = (pltpu.VMEM((R + 3, Wp), jnp.int8) if bim
                   else pltpu.VMEM((9, R + 2, Wp), jnp.float32))
@@ -576,17 +578,17 @@ def _run_gswrr(u_pad, f_pad, op_pad, w4_pad, dst, bnd, *, R, H, W, Wp, a0,
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "mass", "omega", "s", "R_up", "bim",
-    "interpret", "vmem_mb"))
+    "interpret", "vmem_mb", "dform"))
 def _run_gpsweep(u_pad, f_pad, op_pad, w4_pad, uc_pad, dst, bnd, *, R, H, W,
                  Wp, a0, da, mass, omega, s, R_up, bim, interpret,
-                 vmem_mb=None):
+                 vmem_mb=None, dform=False):
     nb = (u_pad.shape[0] - 2 * R) // R
     if bnd is None:
         bnd = _default_bounds(H, W)
     assert (2 * R_up) % R == 0
     kern = functools.partial(
         _gpsweep_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, mass=mass,
-        omega=omega, s=s, nb=nb, bim=bim)
+        omega=omega, s=s, nb=nb, bim=bim, dform=dform)
     op_spec = (_lagged_spec(R, Wp, 0) if bim else _plane_spec(9, R, Wp, 0))
     op_scratch = (pltpu.VMEM((1, Wp), jnp.int8) if bim
                   else pltpu.VMEM((1, Wp), jnp.int8))  # dummy when general
@@ -762,6 +764,8 @@ class GeneralPallasLevel:
         self.omega = float(omega)
         self.dtype = dtype
         self.mass = tuple(float(m) for m in mass) if mass is not None else None
+        # difference-form level-0 stencil assembly (pallas_sweep._apply_bim_d)
+        self.dform = self.mass is None
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = bool(interpret)
@@ -835,7 +839,8 @@ class GeneralPallasLevel:
             return _run_sweep(u_pad, f_pad, op_pad, None, dst, None,
                               None, bnd, a0=self.a0, da=self.da,
                               mass=self.mass, mode="sweep", R_up=0,
-                              vmem_mb=self.vmem_mb, **self._cfg())
+                              vmem_mb=self.vmem_mb, dform=self.dform,
+                              **self._cfg())
         return _run_gsweep(u_pad, f_pad, op_pad, dst, bnd, mode="sweep",
                            vmem_mb=self.vmem_mb, **self._cfg())
 
@@ -850,7 +855,8 @@ class GeneralPallasLevel:
             return _run_sweep(u_pad, f_pad, op_pad, None, dst, None,
                               None, bnd, a0=self.a0, da=self.da,
                               mass=self.mass, mode="residual", R_up=0,
-                              vmem_mb=self.vmem_mb, **self._cfg())
+                              vmem_mb=self.vmem_mb, dform=self.dform,
+                              **self._cfg())
         return _run_gsweep(u_pad, f_pad, op_pad, dst, bnd,
                            mode="residual", vmem_mb=self.vmem_mb,
                            **self._cfg())
@@ -868,7 +874,7 @@ class GeneralPallasLevel:
                           dst, bnd,
                           a0=self.a0, da=self.da, mass=self.mass,
                           Rc=self.Rc, bim=self.bim, vmem_mb=self.vmem_mb,
-                          out_rows=out_rows, **cfg)
+                          out_rows=out_rows, dform=self.dform, **cfg)
 
     def psweep(self, u_pad, f_pad, uc_pad, R_up: Optional[int] = None,
                dst=None, bnd=None, op_pad=None, w4_pad=None):
@@ -881,7 +887,8 @@ class GeneralPallasLevel:
                             uc_pad, dst, bnd,
                             a0=self.a0, da=self.da, mass=self.mass,
                             R_up=int(R_up if R_up is not None else self.Rc),
-                            bim=self.bim, vmem_mb=self.vmem_mb, **self._cfg())
+                            bim=self.bim, vmem_mb=self.vmem_mb,
+                            dform=self.dform, **self._cfg())
 
     def zwrr(self, f_pad, bnd=None, out_rows: Optional[int] = None,
              op_pad=None, w4_pad=None):

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from multigrid_feanet_tpu.ops.pallas_sweep import (
     PallasLevel,
     _apply_bim,
+    _halo_spec,
     _apply_hom,
     _c4_from_q,
     _default_bounds,
@@ -278,9 +279,10 @@ def _prolong_rows(cw, Wp, s, row0, lo, hi, W):
         _interior_mask(row0, 2 * (K - 1), Wp, lo, hi, W, s), corr, 0.0)
 
 
-def _hswrr_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, dst_ref, u1_out,
-                  fc_out, rsq_ref, ucache, fcache, phcache, *, R, H, W, Wp,
-                  a0, da, omega, s, nb, own_hi, bim, L):
+def _hswrr_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, uh_ref, fh_ref,
+                  phh_ref, dst_ref, u1_out, fc_out, rsq_ref, ucache, fcache,
+                  phcache, *, R, H, W, Wp, a0, da, omega, s, nb, own_hi, bim,
+                  L):
     """Fused H-MG descent leg.  Grid step i emits u1 = hrelax(u0) node rows
     [(i-1)R, iR), coarse rows [(i-1)R/2, iR/2) of f_c = 4 FW(f - A u1), and
     the free pre-update residual norm^2 of u0 (rows [(i-1)R - 1, iR - 1)).
@@ -289,6 +291,12 @@ def _hswrr_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, dst_ref, u1_out,
       ucache[0 : R+6]  = u0 rows     [(i-1)R - 6, iR)
       fcache[0 : R+5]  = f rows      [(i-1)R - 5, iR)
       phcache[0 : R+6] = element rows [(i-1)R - 6, iR)
+
+    Shard halos (DEEP strips — L=1 only; all-zero single-device):
+    ``uh_ref`` rows 8-(D+2)..7 = u rows -(D+2)..-1, rows 0..D+1 = u rows
+    Hloc..Hloc+D+1; ``fh_ref`` rows 8-(D+1)..7 / 0..D = f analogues;
+    ``phh_ref`` rows 8-(D+2)..7 = element rows -(D+2)..-1, rows 0..D =
+    element rows Hloc..Hloc+D.
     """
     D = L + 1
     i = pl.program_id(0)
@@ -296,10 +304,14 @@ def _hswrr_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, dst_ref, u1_out,
     lo, hi = bnd_ref[0], bnd_ref[1]
     clo, chi = bnd_ref[2], bnd_ref[3]
 
-    uw = jnp.concatenate([ucache[...], u_ref[0 : D + 2, :]], axis=0)
-    fw = jnp.concatenate([fcache[...], f_ref[0 : D + 1, :]], axis=0)
-    phw = (jnp.concatenate([phcache[...], ph_ref[0 : D + 1, :]], axis=0)
-           if bim else None)  # (R+2D+3) element rows [row0, ...)
+    u_in = jnp.where(i == nb, uh_ref[0 : D + 2, :], u_ref[0 : D + 2, :])
+    f_in = jnp.where(i == nb, fh_ref[0 : D + 1, :], f_ref[0 : D + 1, :])
+    uw = jnp.concatenate([ucache[...], u_in], axis=0)
+    fw = jnp.concatenate([fcache[...], f_in], axis=0)
+    phw = (jnp.concatenate(
+        [phcache[...],
+         jnp.where(i == nb, phh_ref[0 : D + 1, :], ph_ref[0 : D + 1, :])],
+        axis=0) if bim else None)  # (R+2D+3) element rows [row0, ...)
 
     # jac on R+2D+2 rows [row0+1, ...) = [(i-1)R - D - 1, iR + D + 1)
     jac, x0, r0 = _jac_rows(uw, fw, phw, R + 2 * D + 4, a0, da, omega, s,
@@ -329,19 +341,24 @@ def _hswrr_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, dst_ref, u1_out,
     fc_out[...] = jnp.where(
         _interior_mask(crow0, R // 2, Wp, clo, chi, Wc, 2 * s), fc, 0.0)
 
-    # roll caches forward
-    ucache[0 : D + 2, :] = uw[R : R + D + 2, :]
+    # roll caches forward (i == 0: north halo strips seed the caches —
+    # zeros on a single device, the neighbour's rows under sharding)
+    ucache[0 : D + 2, :] = jnp.where(i == 0, uh_ref[8 - (D + 2) : 8, :],
+                                     uw[R : R + D + 2, :])
     ucache[D + 2 : R + D + 2, :] = u_ref[...]
-    fcache[0 : D + 1, :] = fw[R : R + D + 1, :]
+    fcache[0 : D + 1, :] = jnp.where(i == 0, fh_ref[8 - (D + 1) : 8, :],
+                                     fw[R : R + D + 1, :])
     fcache[D + 1 : R + D + 1, :] = f_ref[...]
     if bim:
-        phcache[0 : D + 2, :] = phw[R : R + D + 2, :]
+        phcache[0 : D + 2, :] = jnp.where(i == 0, phh_ref[8 - (D + 2) : 8, :],
+                                          phw[R : R + D + 2, :])
         phcache[D + 2 : R + D + 2, :] = ph_ref[...]
 
 
-def _phrelax_kernel(u_ref, f_ref, ph_ref, uc_ref, k_ref, bnd_ref, dst_ref,
-                    u_out, ucache, fcache, phcache, ucc, *, R, H, W, Wp, a0,
-                    da, omega, s, nb, bim, L):
+def _phrelax_kernel(u_ref, f_ref, ph_ref, uc_ref, k_ref, bnd_ref, uh_ref,
+                    fh_ref, phh_ref, uch_ref, dst_ref, u_out, ucache, fcache,
+                    phcache, ucc, *, R, H, W, Wp, a0, da, omega, s, nb, bim,
+                    L):
     """Fused H-MG ascent leg.  Grid step i emits node rows [(i-1)R, iR) of
     u3 = hrelax(u1 + P(uc)).
 
@@ -357,12 +374,22 @@ def _phrelax_kernel(u_ref, f_ref, ph_ref, uc_ref, k_ref, bnd_ref, dst_ref,
     row0 = (i - 1) * R - D  # an even window start
     lo, hi = bnd_ref[0], bnd_ref[1]
 
-    uw = jnp.concatenate([ucache[...], u_ref[0:D, :]], axis=0)  # (R+2D)
-    fw = jnp.concatenate([fcache[...], f_ref[0 : D - 1, :]], axis=0)
-    phw = (jnp.concatenate([phcache[...], ph_ref[0 : D - 1, :]], axis=0)
-           if bim else None)  # (R+2D-1)
-    cw = jnp.concatenate([ucc[...], uc_ref[0 : D // 2 + 1, :]],
-                         axis=0)  # (R/2 + D + 1)
+    uw = jnp.concatenate(
+        [ucache[...], jnp.where(i == nb, uh_ref[0:D, :], u_ref[0:D, :])],
+        axis=0)  # (R+2D)
+    fw = jnp.concatenate(
+        [fcache[...],
+         jnp.where(i == nb, fh_ref[0 : D - 1, :], f_ref[0 : D - 1, :])],
+        axis=0)
+    phw = (jnp.concatenate(
+        [phcache[...],
+         jnp.where(i == nb, phh_ref[0 : D - 1, :], ph_ref[0 : D - 1, :])],
+        axis=0) if bim else None)  # (R+2D-1)
+    cw = jnp.concatenate(
+        [ucc[...],
+         jnp.where(i == nb, uch_ref[0 : D // 2 + 1, :],
+                   uc_ref[0 : D // 2 + 1, :])],
+        axis=0)  # (R/2 + D + 1)
 
     corr = _prolong_rows(cw, Wp, s, row0, lo, hi, W)  # (R+2D) rows [row0,)
     u2 = uw + corr
@@ -371,15 +398,19 @@ def _phrelax_kernel(u_ref, f_ref, ph_ref, uc_ref, k_ref, bnd_ref, dst_ref,
     x = _hchain(x0, k_ref, L, s, row0 + 1, Wp, lo, hi, W)  # (R) rows
     u_out[...] = jac[L : L + R, :] + x  # rows [(i-1)R, iR)
 
-    # roll caches forward
-    ucache[0:D, :] = uw[R : R + D, :]
+    # roll caches forward (i == 0: halo strips seed the caches)
+    ucache[0:D, :] = jnp.where(i == 0, uh_ref[8 - D : 8, :],
+                               uw[R : R + D, :])
     ucache[D : R + D, :] = u_ref[...]
-    fcache[0 : D - 1, :] = fw[R : R + D - 1, :]
+    fcache[0 : D - 1, :] = jnp.where(i == 0, fh_ref[8 - (D - 1) : 8, :],
+                                     fw[R : R + D - 1, :])
     fcache[D - 1 : R + D - 1, :] = f_ref[...]
     if bim:
-        phcache[0:D, :] = phw[R : R + D, :]
+        phcache[0:D, :] = jnp.where(i == 0, phh_ref[8 - D : 8, :],
+                                    phw[R : R + D, :])
         phcache[D : R + D, :] = ph_ref[...]
-    ucc[0 : D // 2, :] = cw[R // 2 : R // 2 + D // 2, :]
+    ucc[0 : D // 2, :] = jnp.where(i == 0, uch_ref[8 - D // 2 : 8, :],
+                                   cw[R // 2 : R // 2 + D // 2, :])
     ucc[D // 2 : R // 2 + D // 2, :] = uc_ref[...]
 
 
@@ -474,9 +505,9 @@ _DUMMY_PH_SPEC = pl.BlockSpec((32, 128), lambda i: (0, 0),
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "omega", "s", "L", "Rc", "out_rows",
     "own_rows", "interpret", "vmem_mb"))
-def _run_hswrr(u_pad, f_pad, ph_pad, params, dst, bnd, *, R, H, W, Wp, a0,
-               da, omega, s, L, Rc, interpret, vmem_mb=None, out_rows=None,
-               own_rows=None):
+def _run_hswrr(u_pad, f_pad, ph_pad, params, dst, bnd, uh=None, fh=None,
+               phh=None, *, R, H, W, Wp, a0, da, omega, s, L, Rc, interpret,
+               vmem_mb=None, out_rows=None, own_rows=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if out_rows is None:
@@ -484,6 +515,12 @@ def _run_hswrr(u_pad, f_pad, ph_pad, params, dst, bnd, *, R, H, W, Wp, a0,
         out_rows = _round_up(Hc, Rc) + 2 * Rc
     if bnd is None:
         bnd = _default_bounds(H, W)
+    uh = (jnp.zeros((8, Wp), jnp.float32) if uh is None
+          else uh.astype(jnp.float32))
+    fh = (jnp.zeros((8, Wp), jnp.float32) if fh is None
+          else fh.astype(jnp.float32))
+    if phh is None:
+        phh = jnp.zeros((8, Wp), jnp.int8)
     assert (2 * Rc) % R == 0
     idx_off = 2 * Rc // R - 1
     assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
@@ -499,8 +536,9 @@ def _run_hswrr(u_pad, f_pad, ph_pad, params, dst, bnd, *, R, H, W, Wp, a0,
     else:
         in_specs.append(_DUMMY_PH_SPEC)
         args.append(jnp.zeros((32, 128), jnp.int8))
-    in_specs += [_SMEM_SPEC, _SMEM_SPEC, pl.BlockSpec(memory_space=pl.ANY)]
-    args += [params.astype(jnp.float32), bnd, dst]
+    in_specs += [_SMEM_SPEC, _SMEM_SPEC, _halo_spec(Wp), _halo_spec(Wp),
+                 _halo_spec(Wp), pl.BlockSpec(memory_space=pl.ANY)]
+    args += [params.astype(jnp.float32), bnd, uh, fh, phh, dst]
     u1, fc, rsq = pl.pallas_call(
         kern,
         grid=(nb + 1,),
@@ -520,7 +558,7 @@ def _run_hswrr(u_pad, f_pad, ph_pad, params, dst, bnd, *, R, H, W, Wp, a0,
             pltpu.VMEM((R + L + 2, Wp), jnp.float32),
             pltpu.VMEM((R + L + 3, Wp), jnp.int8),
         ],
-        input_output_aliases={5: 0},
+        input_output_aliases={8: 0},
         interpret=interpret,
         compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_mb) << 20)),
@@ -539,12 +577,21 @@ def _run_hswrr(u_pad, f_pad, ph_pad, params, dst, bnd, *, R, H, W, Wp, a0,
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "omega", "s", "L", "R_up", "interpret",
     "vmem_mb"))
-def _run_phrelax(u_pad, f_pad, ph_pad, uc_pad, params, dst, bnd, *, R, H, W,
-                 Wp, a0, da, omega, s, L, R_up, interpret, vmem_mb=None):
+def _run_phrelax(u_pad, f_pad, ph_pad, uc_pad, params, dst, bnd, uh=None,
+                 fh=None, phh=None, uch=None, *, R, H, W, Wp, a0, da, omega,
+                 s, L, R_up, interpret, vmem_mb=None):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if bnd is None:
         bnd = _default_bounds(H, W)
+    uh = (jnp.zeros((8, Wp), jnp.float32) if uh is None
+          else uh.astype(jnp.float32))
+    fh = (jnp.zeros((8, Wp), jnp.float32) if fh is None
+          else fh.astype(jnp.float32))
+    if phh is None:
+        phh = jnp.zeros((8, Wp), jnp.int8)
+    uch = (jnp.zeros((8, Wp), jnp.float32) if uch is None
+           else uch.astype(jnp.float32))
     assert (2 * R_up) % R == 0
     assert L % 2 == 1, "prolongation window alignment needs odd chain depth"
     kern = functools.partial(
@@ -559,8 +606,9 @@ def _run_phrelax(u_pad, f_pad, ph_pad, uc_pad, params, dst, bnd, *, R, H, W,
         in_specs.append(_DUMMY_PH_SPEC)
         args.append(jnp.zeros((32, 128), jnp.int8))
     in_specs += [_lagged_spec(R // 2, Wp, 2 * R_up // R), _SMEM_SPEC,
-                 _SMEM_SPEC, pl.BlockSpec(memory_space=pl.ANY)]
-    args += [uc_pad, params.astype(jnp.float32), bnd, dst]
+                 _SMEM_SPEC, _halo_spec(Wp), _halo_spec(Wp), _halo_spec(Wp),
+                 _halo_spec(Wp), pl.BlockSpec(memory_space=pl.ANY)]
+    args += [uc_pad, params.astype(jnp.float32), bnd, uh, fh, phh, uch, dst]
     out = pl.pallas_call(
         kern,
         grid=(nb + 1,),
@@ -574,7 +622,7 @@ def _run_phrelax(u_pad, f_pad, ph_pad, uc_pad, params, dst, bnd, *, R, H, W,
             pltpu.VMEM((R + L + 1, Wp), jnp.int8),
             pltpu.VMEM((R // 2 + (L + 1) // 2, Wp), jnp.float32),
         ],
-        input_output_aliases={6: 0},
+        input_output_aliases={10: 0},
         interpret=interpret,
         compiler_params=(None if vmem_mb is None else pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_mb) << 20)),
@@ -694,7 +742,8 @@ def _run_zphrelax(f_pad, ph_pad, uc_pad, params, dst, bnd, *, R, H, W, Wp,
 
 
 def hswrr(level: PallasLevel, u_pad, f_pad, params, dst=None,
-          out_rows: Optional[int] = None):
+          out_rows: Optional[int] = None, bnd=None, uh=None, fh=None,
+          phh=None, own_rows: Optional[int] = None, ph_pad=None):
     """Fused H-MG descent leg -> (u1, f_c, rsq): u1 = hrelax(u0),
     f_c = 4 FW(f - A u1) in the coarse level's layout, rsq = pre-update
     interior residual norm^2 of u0.  Equivalent to ``u1, rsq = hrelax(u0, f);
@@ -702,23 +751,28 @@ def hswrr(level: PallasLevel, u_pad, f_pad, params, dst=None,
     Same ghost-block caveat on ``f_c`` as restrict_residual."""
     if dst is None:
         dst = level.zeros()
-    return _run_hswrr(u_pad, f_pad, level.ph_pad, params, dst, None,
+    return _run_hswrr(u_pad, f_pad,
+                      level.ph_pad if ph_pad is None else ph_pad,
+                      params, dst, bnd, uh, fh, phh,
                       R=level.R, H=level.H, W=level.W, Wp=level.Wp,
                       a0=level.a0, da=level.da, omega=level.omega, s=level.s,
                       L=int(params.shape[0]), Rc=level.Rc,
                       interpret=level.interpret, vmem_mb=level.vmem_mb,
-                      out_rows=out_rows)
+                      out_rows=out_rows, own_rows=own_rows)
 
 
 def phrelax(level: PallasLevel, u_pad, f_pad, uc_pad, params,
-            R_up: Optional[int] = None, dst=None):
+            R_up: Optional[int] = None, dst=None, bnd=None, uh=None,
+            fh=None, phh=None, uch=None, ph_pad=None):
     """Fused H-MG ascent leg -> u3 = hrelax(u1 + P(uc)).  Equivalent to
     ``u2, _ = level.psweep(u1, f, uc, omega=0.0); u3, _ = hrelax(u2, f)``.
     Donates ``dst``."""
     if dst is None:
         dst = level.zeros()
-    return _run_phrelax(u_pad, f_pad, level.ph_pad, uc_pad, params, dst,
-                        None, R=level.R, H=level.H, W=level.W, Wp=level.Wp,
+    return _run_phrelax(u_pad, f_pad,
+                        level.ph_pad if ph_pad is None else ph_pad,
+                        uc_pad, params, dst, bnd, uh, fh, phh, uch,
+                        R=level.R, H=level.H, W=level.W, Wp=level.Wp,
                         a0=level.a0, da=level.da, omega=level.omega,
                         s=level.s, L=int(params.shape[0]),
                         R_up=int(R_up if R_up is not None else level.Rc),

@@ -155,6 +155,84 @@ def _apply_bim(u_win, ph_win, L, a0, da, s, mass=None):
     return au, C4
 
 
+def _apply_hom_d(u_win, L, a0, s):
+    """DIFFERENCE-FORM homogeneous A u: au = -(a0/3) sum_nb (u_nb - u_p),
+    assembled from adjacent-value differences (Sterbenz-near-exact for
+    smooth fields).  Mathematically identical to _apply_hom (the stencil's
+    row sums are zero), but the f32 rounding scales with the LOCAL
+    VARIATION of u instead of its magnitude — at 4097^2 the coarse-grid
+    correction amplifies rounding by ~kappa(A) ~ 1e6, and _apply_hom's
+    magnitude-scaled, systematically-biased rounding destabilizes the
+    V-cycle outright on hard problems (measured: the bi-material
+    interface at 4097^2 diverges at q = 1.26 with the plain form and
+    converges with this one).  Pure-stiffness operators only (zero row
+    sums — incompatible with ``mass``)."""
+    Dh = _roll_p(u_win, s) - u_win          # u(., q+s) - u(., q)
+    Dhm = _roll_m(Dh, s)                    # u(., q) - u(., q-s)
+    Dv = u_win[1:L, :] - u_win[0 : L - 1, :]  # u(k+1, .) - u(k, .)
+    Dvp = _roll_p(Dv, s)
+    Dvm = _roll_m(Dv, s)
+    r = slice(1, L - 1)
+    rm = slice(0, L - 2)
+    d_E, d_W = Dh[r], -Dhm[r]
+    d_N, d_S = Dv[r], -Dv[rm]
+    d_NE = Dvp[r] + Dh[r]
+    d_NW = Dvm[r] - Dhm[r]
+    d_SE = Dh[r] - Dvp[rm]
+    d_SW = -Dvm[rm] - Dhm[r]
+    acc = (d_E + d_W) + (d_N + d_S) + ((d_NE + d_NW) + (d_SE + d_SW))
+    return (-a0 / 3.0) * acc, None
+
+
+def _apply_bim_d(u_win, ph_win, L, a0, da, s):
+    """DIFFERENCE-FORM bi-material element-factored A u (see _apply_hom_d
+    for the rationale).  Per element e containing node p with in-element
+    edge neighbours a, b and diagonal opp:
+
+        A u(p) = -(1/6) sum_e Q_e [ (u_a - u_p) + (u_b - u_p)
+                                    + 2 (u_opp - u_p) ]
+
+    — exactly _apply_bim's operator regrouped so every term is a
+    difference of adjacent nodes.  Returns (A u, C4)."""
+    Q = ph_win.astype(jnp.float32) * da + a0  # (L-1, Wp) element rows
+    Qm = _roll_m(Q, s)
+    Dh = _roll_p(u_win, s) - u_win
+    Dhm = _roll_m(Dh, s)
+    Dv = u_win[1:L, :] - u_win[0 : L - 1, :]
+    Dvp = _roll_p(Dv, s)
+    Dvm = _roll_m(Dv, s)
+    r = slice(1, L - 1)
+    rm = slice(0, L - 2)
+    d_E, d_W = Dh[r], -Dhm[r]
+    d_N, d_S = Dv[r], -Dv[rm]
+    d_NE = Dvp[r] + Dh[r]
+    d_NW = Dvm[r] - Dhm[r]
+    d_SE = Dh[r] - Dvp[rm]
+    d_SW = -Dvm[rm] - Dhm[r]
+    # element quadrants of node (r, q): NE = Q[r, q], NW = Q[r, q-s],
+    # SE = Q[r-1, q], SW = Q[r-1, q-s]
+    Qne, Qnw = Q[r], Qm[r]
+    Qse, Qsw = Q[rm], Qm[rm]
+    acc = ((Qne + Qse) * d_E + (Qnw + Qsw) * d_W
+           + (Qne + Qnw) * d_N + (Qse + Qsw) * d_S
+           + 2.0 * (Qne * d_NE + Qnw * d_NW + Qse * d_SE + Qsw * d_SW))
+    C4 = (Qne + Qnw) + (Qse + Qsw)
+    return (-1.0 / 6.0) * acc, C4
+
+
+def _apply_op(u_win, ph_win, L, a0, da, s, mass, bim, dform):
+    """Dispatch to the plain or difference-form apply.  ``dform`` requires
+    ``mass is None`` (nonzero row sums break the constant-annihilation
+    the difference form relies on)."""
+    if bim:
+        if dform:
+            return _apply_bim_d(u_win, ph_win, L, a0, da, s)
+        return _apply_bim(u_win, ph_win, L, a0, da, s, mass=mass)
+    if dform:
+        return _apply_hom_d(u_win, L, a0, s)
+    return _apply_hom(u_win, L, a0, s, mass=mass)
+
+
 def _diag_bim(C4, mass):
     """Jacobi diagonal for the bi-material (+ optional mass) operator."""
     d = (2.0 / 3.0) * C4
@@ -205,7 +283,8 @@ def _owned_rows_mask(row0, L, own_lo, own_hi):
 
 def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
                   bnd_ref, u_out, rsq_ref, cache, phc, ucc, *, R, H, W, Wp,
-                  a0, da, mass, omega, s, nb, own_hi, bim, mode, with_corr):
+                  a0, da, mass, omega, s, nb, own_hi, bim, mode, with_corr,
+                  dform=False):
     """Grid step i emits node rows [(i-1)R, iR).
 
     Pipeline blocks (ghost-block layouts, data row g at buffer row g + R_lv):
@@ -255,10 +334,10 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
 
     if bim:
         ph_win = jnp.concatenate([phc[...], ph_ref[...]], axis=0)  # (R+1, Wp)
-        au, C4 = _apply_bim(u_win, ph_win, R + 2, a0, da, s, mass=mass)
+        au, C4 = _apply_op(u_win, ph_win, R + 2, a0, da, s, mass, bim, dform)
         d = _diag_bim(C4, mass)
     else:
-        au, _ = _apply_hom(u_win, R + 2, a0, s, mass=mass)
+        au, _ = _apply_op(u_win, None, R + 2, a0, da, s, mass, bim, dform)
         d = _diag_hom(a0, mass)
 
     r = f_ref[...].astype(jnp.float32) - au
@@ -294,7 +373,8 @@ def _sweep_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, uch_ref,
 
 def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
                  bnd_ref, u1_out, fc_out, rsq_ref, uwin, fwin, phw, u1c, *,
-                 R, H, W, Wp, a0, da, mass, omega, s, nb, own_hi, bim):
+                 R, H, W, Wp, a0, da, mass, omega, s, nb, own_hi, bim,
+                 dform=False):
     """Grid step i emits u1 node rows [(i-1)R, iR) AND coarse rows
     [(i-1)R/2, iR/2) of f_c = 4*FW(f - A u1), where u1 = jacobi_sweep(u0).
 
@@ -333,10 +413,11 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
     uw = uwin[...]  # (R+4, Wp): u0 rows [row0, row0 + R + 4)
     if bim:
         phin = phw[...]  # (R+3, Wp): element rows [row0, row0 + R + 3)
-        au0, C4 = _apply_bim(uw, phin, R + 4, a0, da, s, mass=mass)
+        au0, C4 = _apply_op(uw, phin, R + 4, a0, da, s, mass, bim, dform)
         d = _diag_bim(C4, mass)
     else:
-        au0, _ = _apply_hom(uw, R + 4, a0, s, mass=mass)
+        phin = None
+        au0, _ = _apply_op(uw, None, R + 4, a0, da, s, mass, bim, dform)
         d = _diag_hom(a0, mass)
     # au0 rows [(i-1)R - 1, iR + 1] -> R+2 rows, aligned with fwin
     f0 = fwin[...]
@@ -352,10 +433,8 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
 
     # residual of u1 on rows [(i-1)R - 1, iR - 1]
     u1buf = jnp.concatenate([u1c[...], u1full], axis=0)  # rows [(i-1)R-2, iR]
-    if bim:
-        au1, _ = _apply_bim(u1buf, phin[0 : R + 2, :], R + 3, a0, da, s, mass=mass)
-    else:
-        au1, _ = _apply_hom(u1buf, R + 3, a0, s, mass=mass)
+    au1, _ = _apply_op(u1buf, phin[0 : R + 2, :] if bim else None, R + 3,
+                       a0, da, s, mass, bim, dform)
     r1 = f0[0 : R + 1, :] - au1
     r1 = jnp.where(_interior_mask(row0 + 1, R + 1, Wp, lo, hi, W, s), r1, 0.0)
     # full weighting + x4 scaling (identical to _rr_kernel)
@@ -375,10 +454,12 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
     # reproducing the old garbage-but-masked behaviour exactly because the
     # row itself is then u0(-2) = 0).
     if bim:
-        auh, C4h = _apply_bim(uh_ref[5:8, :], phh_ref[5:7, :], 3, a0, da, s, mass=mass)
+        auh, C4h = _apply_op(uh_ref[5:8, :], phh_ref[5:7, :], 3, a0, da, s,
+                             mass, True, dform)
         dh = _diag_bim(C4h, mass)
     else:
-        auh, _ = _apply_hom(uh_ref[5:8, :], 3, a0, s, mass=mass)
+        auh, _ = _apply_op(uh_ref[5:8, :], None, 3, a0, da, s, mass, False,
+                           dform)
         dh = _diag_hom(a0, mass)
     rh = fh_ref[6:7, :] - auh
     rh = jnp.where(_interior_mask(-2, 1, Wp, lo, hi, W, s), rh, 0.0)
@@ -412,7 +493,7 @@ def _swrr_kernel(u_ref, f_ref, ph_ref, dst_ref, uh_ref, fh_ref, phh_ref,
 def _pswrr_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, fh_ref,
                   phh_ref, uch_ref, bnd_ref, u4_out, fc_out, rsq_ref,
                   uwin, fwin, phw, ucc, *, R, H, W, Wp, a0, da, mass, omega,
-                  s, nb, own_hi, bim):
+                  s, nb, own_hi, bim, dform=False):
     """Grid step i emits u4 node rows [(i-1)R, iR) and coarse rows
     [(i-1)R/2, iR/2) of f_c = 4 FW(f - A u4), where
 
@@ -461,10 +542,11 @@ def _pswrr_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, fh_ref,
     f0 = fwin[...]  # (R+5, Wp): f rows [row0 + 1, row0 + R + 6)
     if bim:
         phin = phw[...]  # (R+6, Wp): element rows [row0, row0 + R + 6)
-        au2, C42 = _apply_bim(u2, phin, R + 7, a0, da, s, mass=mass)
+        au2, C42 = _apply_op(u2, phin, R + 7, a0, da, s, mass, bim, dform)
         d2 = _diag_bim(C42, mass)
     else:
-        au2, _ = _apply_hom(u2, R + 7, a0, s, mass=mass)
+        phin = None
+        au2, _ = _apply_op(u2, None, R + 7, a0, da, s, mass, bim, dform)
         d2 = _diag_hom(a0, mass)
     r2 = f0 - au2
     r2 = jnp.where(_interior_mask(row0 + 1, R + 5, Wp, lo, hi, W, s), r2, 0.0)
@@ -472,10 +554,11 @@ def _pswrr_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, fh_ref,
 
     # ---- u4 = jacobi(u3) on R+3 rows [row0+2, row0+R+5) ----
     if bim:
-        au3, C43 = _apply_bim(u3, phin[1 : R + 5, :], R + 5, a0, da, s, mass=mass)
+        au3, C43 = _apply_op(u3, phin[1 : R + 5, :], R + 5, a0, da, s, mass,
+                             bim, dform)
         d3 = _diag_bim(C43, mass)
     else:
-        au3, _ = _apply_hom(u3, R + 5, a0, s, mass=mass)
+        au3, _ = _apply_op(u3, None, R + 5, a0, da, s, mass, bim, dform)
         d3 = _diag_hom(a0, mass)
     r3 = f0[1 : R + 4, :] - au3
     r3 = jnp.where(_interior_mask(row0 + 2, R + 3, Wp, lo, hi, W, s), r3, 0.0)
@@ -490,10 +573,8 @@ def _pswrr_kernel(u_ref, f_ref, ph_ref, uc_ref, dst_ref, uh_ref, fh_ref,
         rsq_ref[i - 1, 0] = jnp.sum(rq * rq)
 
     # ---- residual of u4 on R+1 rows [(i-1)R - 1, iR - 1] + FW ----
-    if bim:
-        au4, _ = _apply_bim(u4, phin[2 : R + 4, :], R + 3, a0, da, s, mass=mass)
-    else:
-        au4, _ = _apply_hom(u4, R + 3, a0, s, mass=mass)
+    au4, _ = _apply_op(u4, phin[2 : R + 4, :] if bim else None, R + 3,
+                       a0, da, s, mass, bim, dform)
     r4 = f0[2 : R + 3, :] - au4
     r4 = jnp.where(_interior_mask(row0 + 3, R + 1, Wp, lo, hi, W, s), r4, 0.0)
     A = r4[0:R, :].reshape(R // 2, 2, Wp)
@@ -675,7 +756,8 @@ def _zpsweep_kernel(f_ref, ph_ref, uc_ref, dst_ref, fh_ref, phh_ref, uch_ref,
 
 
 def _rr_kernel(u_ref, f_ref, ph_ref, uh_ref, bnd_ref, fc_out, rsq_ref,
-               cache, fch, phc, *, R, H, W, Wp, a0, da, mass, s, nb, own_hi, bim):
+               cache, fch, phc, *, R, H, W, Wp, a0, da, mass, s, nb, own_hi,
+               bim, dform=False):
     """Grid step i emits coarse node rows [(i-1)R/2, iR/2) of f_c = 4*FW(r).
 
     Needs residual rows [(i-1)R - 1, iR - 1] (R+1 rows), hence u rows
@@ -701,11 +783,9 @@ def _rr_kernel(u_ref, f_ref, ph_ref, uh_ref, bnd_ref, fc_out, rsq_ref,
         i == nb, uh_ref[0:1, :], u_ref[0:1, :].astype(jnp.float32))
     u_win = cache[...]  # (R+3, Wp)
 
-    if bim:
-        ph_win = jnp.concatenate([phc[...], ph_ref[...]], axis=0)  # (R+2, Wp)
-        au, _ = _apply_bim(u_win, ph_win, R + 3, a0, da, s, mass=mass)
-    else:
-        au, _ = _apply_hom(u_win, R + 3, a0, s, mass=mass)
+    ph_win = (jnp.concatenate([phc[...], ph_ref[...]], axis=0)
+              if bim else None)  # (R+2, Wp)
+    au, _ = _apply_op(u_win, ph_win, R + 3, a0, da, s, mass, bim, dform)
     # au covers node rows [(i-1)R - 1, iR]  -> R+1 rows
     f_win = jnp.concatenate(
         [fch[...], f_ref[...].astype(jnp.float32)], axis=0)  # same rows
@@ -769,10 +849,10 @@ def _default_bounds(H, W):
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "mass", "omega", "s", "mode", "R_up", "interpret",
-    "vmem_mb", "own_rows"))
+    "vmem_mb", "own_rows", "dform"))
 def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, uh, uch, bnd, *, R, H, W,
                Wp, a0, da, omega, s, mode, R_up, interpret, vmem_mb=None,
-               own_rows=None, mass=None):
+               own_rows=None, mass=None, dform=False):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     with_corr = uc_pad is not None
@@ -789,7 +869,7 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, uh, uch, bnd, *, R, H, W,
         omega=omega,
         s=s, nb=nb, own_hi=(own_rows if own_rows is not None else nb * R) - 1,
         bim=bim, mode=("sweep" if with_corr else mode),
-        with_corr=with_corr)
+        with_corr=with_corr, dform=dform)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 0)]
     args = [u_pad, f_pad]
     if bim:
@@ -848,10 +928,10 @@ def _run_sweep(u_pad, f_pad, ph_pad, uc_pad, dst, uh, uch, bnd, *, R, H, W,
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "mass", "omega", "s", "Rc", "out_rows",
-    "own_rows", "interpret", "vmem_mb"))
+    "own_rows", "interpret", "vmem_mb", "dform"))
 def _run_swrr(u_pad, f_pad, ph_pad, dst, uh, fh, phh, bnd, *, R, H, W, Wp,
               a0, da, omega, s, Rc, interpret, vmem_mb=None, out_rows=None,
-              own_rows=None, mass=None):
+              own_rows=None, mass=None, dform=False):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if out_rows is None:
@@ -871,7 +951,7 @@ def _run_swrr(u_pad, f_pad, ph_pad, dst, uh, fh, phh, bnd, *, R, H, W, Wp,
     kern = functools.partial(_swrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0,
                              da=da, mass=mass, omega=omega, s=s, nb=nb,
                              own_hi=(own_rows if own_rows is not None
-                                     else nb * R) - 2, bim=bim)
+                                     else nb * R) - 2, bim=bim, dform=dform)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 1)]
     args = [u_pad, f_pad]
     if bim:
@@ -923,10 +1003,11 @@ def _run_swrr(u_pad, f_pad, ph_pad, dst, uh, fh, phh, bnd, *, R, H, W, Wp,
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "mass", "omega", "s", "Rc", "R_up", "out_rows",
-    "own_rows", "interpret", "vmem_mb"))
+    "own_rows", "interpret", "vmem_mb", "dform"))
 def _run_pswrr(u_pad, f_pad, ph_pad, uc_pad, dst, uh, fh, phh, uch, bnd, *,
                R, H, W, Wp, a0, da, omega, s, Rc, R_up, interpret,
-               vmem_mb=None, out_rows=None, own_rows=None, mass=None):
+               vmem_mb=None, out_rows=None, own_rows=None, mass=None,
+               dform=False):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if out_rows is None:
@@ -949,7 +1030,7 @@ def _run_pswrr(u_pad, f_pad, ph_pad, uc_pad, dst, uh, fh, phh, uch, bnd, *,
         _pswrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, mass=mass,
         omega=omega, s=s,
         nb=nb, own_hi=(own_rows if own_rows is not None else nb * R) - 2,
-        bim=bim)
+        bim=bim, dform=dform)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 1)]
     args = [u_pad, f_pad]
     if bim:
@@ -1112,9 +1193,10 @@ def _run_zpsweep(f_pad, ph_pad, uc_pad, dst, fh, phh, uch, bnd, *, R, H, W,
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "mass", "s", "Rc", "out_rows", "own_rows",
-    "interpret", "vmem_mb"))
+    "interpret", "vmem_mb", "dform"))
 def _run_rr(u_pad, f_pad, ph_pad, uh, bnd, *, R, H, W, Wp, a0, da, s, Rc,
-            interpret, vmem_mb=None, out_rows=None, own_rows=None, mass=None):
+            interpret, vmem_mb=None, out_rows=None, own_rows=None, mass=None,
+            dform=False):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if out_rows is None:
@@ -1130,7 +1212,7 @@ def _run_rr(u_pad, f_pad, ph_pad, uh, bnd, *, R, H, W, Wp, a0, da, s, Rc,
     kern = functools.partial(_rr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da,
                              mass=mass, s=s, nb=nb,
                              own_hi=(own_rows if own_rows is not None
-                                     else nb * R) - 2, bim=bim)
+                                     else nb * R) - 2, bim=bim, dform=dform)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 0)]
     args = [u_pad, f_pad]
     if bim:
@@ -1198,7 +1280,8 @@ class PallasLevel:
                  rows_next: Optional[int] = None,
                  interpret: Optional[bool] = None, dtype=jnp.float32,
                  vmem_mb: Optional[int] = 64,
-                 mass: Optional[tuple] = None):
+                 mass: Optional[tuple] = None,
+                 dform: Optional[bool] = None):
         self.n = n
         self.H = self.W = n + 1
         self.s = int(stride)
@@ -1220,6 +1303,14 @@ class PallasLevel:
         # mass = h^2/36 * (2, 2, -1) (ops/heat.py pallas_heat_hierarchy).
         self.mass = (tuple(float(m) for m in mass)
                      if mass is not None else None)
+        # difference-form stencil assembly (see _apply_hom_d): the default
+        # for pure-stiffness operators — at production sizes the plain
+        # form's magnitude-scaled rounding bias, kappa-amplified by the
+        # coarse correction, destabilizes V-cycles (measured divergence at
+        # 4097^2 bi-material).  ``mass`` operators keep the plain form
+        # (nonzero row sums; they are also far better conditioned).
+        self.dform = (self.mass is None) if dform is None else bool(dform)
+        assert not (self.dform and self.mass is not None)
         self.omega = float(omega)
         self.dtype = dtype
         if interpret is None:
@@ -1285,7 +1376,7 @@ class PallasLevel:
                           self.ph_pad if ph_pad is None else ph_pad,
                           None, dst, uh, uch, bnd,
                           mode="sweep", R_up=0, vmem_mb=self.vmem_mb,
-                          own_rows=own_rows, **self._cfg())
+                          own_rows=own_rows, dform=self.dform, **self._cfg())
 
     def residual(self, u_pad, f_pad, dst=None, uh=None, bnd=None):
         """Interior-masked residual f - A u (+ its norm^2)."""
@@ -1293,7 +1384,7 @@ class PallasLevel:
             dst = self.zeros()
         return _run_sweep(u_pad, f_pad, self.ph_pad, None, dst, uh, None, bnd,
                           mode="residual", R_up=0, vmem_mb=self.vmem_mb,
-                          **self._cfg())
+                          dform=self.dform, **self._cfg())
 
     def psweep(self, u_pad, f_pad, uc_pad, R_up: Optional[int] = None, dst=None,
                vmem_mb: Optional[int] = None, uh=None, uch=None, bnd=None,
@@ -1315,7 +1406,7 @@ class PallasLevel:
                           uc_pad, dst, uh, uch, bnd,
                           mode="sweep", R_up=int(R_up if R_up is not None else self.Rc),
                           vmem_mb=(vmem_mb if vmem_mb is not None else self.vmem_mb),
-                          own_rows=own_rows, **cfg)
+                          own_rows=own_rows, dform=self.dform, **cfg)
 
     def sweep_restrict(self, u_pad, f_pad, dst=None, uh=None, fh=None,
                        phh=None, bnd=None, out_rows: Optional[int] = None,
@@ -1341,7 +1432,8 @@ class PallasLevel:
                          self.ph_pad if ph_pad is None else ph_pad,
                          dst, uh, fh, phh,
                          bnd, Rc=self.Rc, vmem_mb=self.vmem_mb,
-                         out_rows=out_rows, own_rows=own_rows, **self._cfg())
+                         out_rows=out_rows, own_rows=own_rows,
+                         dform=self.dform, **self._cfg())
 
     def pswrr(self, u1_pad, f_pad, uc_pad, R_up: Optional[int] = None,
               dst=None, bnd=None, own_rows: Optional[int] = None,
@@ -1364,7 +1456,7 @@ class PallasLevel:
                           None, None, None, None, bnd, Rc=self.Rc,
                           R_up=int(R_up if R_up is not None else self.Rc),
                           vmem_mb=self.vmem_mb, out_rows=out_rows,
-                          own_rows=own_rows, **self._cfg())
+                          own_rows=own_rows, dform=self.dform, **self._cfg())
 
     def zsweep_restrict(self, f_pad, fh=None, phh=None, bnd=None,
                         out_rows: Optional[int] = None, ph_pad=None):
@@ -1414,4 +1506,5 @@ class PallasLevel:
         cfg = self._cfg()
         cfg.pop("omega")
         return _run_rr(u_pad, f_pad, self.ph_pad, uh, bnd, Rc=self.Rc,
-                       vmem_mb=self.vmem_mb, out_rows=out_rows, **cfg)
+                       vmem_mb=self.vmem_mb, out_rows=out_rows,
+                       dform=self.dform, **cfg)

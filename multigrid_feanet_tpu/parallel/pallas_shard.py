@@ -73,16 +73,20 @@ class ShardedPallasHierarchyV2:
                  pallas_threshold: int = 256, rows: int = 64,
                  rows_coarse: Optional[int] = 32, coarse_rows_below: int = 1024,
                  interpret: Optional[bool] = None, direct_coarse: bool = True,
-                 shard_below: Optional[int] = None):
+                 shard_below: Optional[int] = None, base=None,
+                 dform: Optional[bool] = None):
+        """``base`` injects a prebuilt single-device hierarchy solver with
+        the V2 layout contract (.pl PallasLevels, .K, .hier) — used by
+        ShardedPallasHMG to share all layout/exchange machinery."""
         self.problem = problem
         self.mesh = mesh
         self.axis = axis
         self.nx = mesh.shape[axis]
-        self.base = PallasHierarchyV2(
+        self.base = base if base is not None else PallasHierarchyV2(
             problem, num_levels=num_levels, omega=omega,
             pallas_threshold=pallas_threshold, rows=rows,
             rows_coarse=rows_coarse, coarse_rows_below=coarse_rows_below,
-            interpret=interpret, direct_coarse=direct_coarse)
+            interpret=interpret, direct_coarse=direct_coarse, dform=dform)
         base = self.base
         levels = base.hier.levels
         if shard_below is None:
@@ -138,19 +142,20 @@ class ShardedPallasHierarchyV2:
         return out
 
     def _strip_elements(self, l: int, ph: np.ndarray) -> np.ndarray:
-        """(nx*8, Wp) stacked phh strips: rows 5..7 = element rows
-        g0-3..g0-1, row 0 = element row g0+Hloc."""
+        """(nx*8, Wp) stacked phh strips: rows 4..7 = element rows
+        g0-4..g0-1, rows 0..2 = element rows g0+Hloc..g0+Hloc+2 (supersets
+        of the round-3 rows-5..7 / row-0 convention; the deep rows serve
+        the L=1 H-relax legs)."""
         n = ph.shape[0]
         s = self.base.pl[l].s
         Hloc = self.Hloc[l]
-        G = np.zeros((3 + self.nx * Hloc + 1, self.Wp), np.int8)
-        G[3 : 3 + n, 0 : n * s : s] = ph
+        G = np.zeros((4 + self.nx * Hloc + 3, self.Wp), np.int8)
+        G[4 : 4 + n, 0 : n * s : s] = ph
         out = np.zeros((self.nx * 8, self.Wp), np.int8)
         for i in range(self.nx):
             g0 = i * Hloc
-            out[i * 8 + 5 : i * 8 + 8] = G[g0 : g0 + 3]
-            if g0 + 3 + Hloc < G.shape[0]:
-                out[i * 8 + 0] = G[g0 + 3 + Hloc]
+            out[i * 8 + 4 : i * 8 + 8] = G[g0 : g0 + 4]
+            out[i * 8 + 0 : i * 8 + 3] = G[g0 + 4 + Hloc : g0 + 7 + Hloc]
         return out
 
     def _stack_field(self, l: int, x):
@@ -175,10 +180,15 @@ class ShardedPallasHierarchyV2:
     # ---- shard-local building blocks (run inside shard_map) ----
 
     def _exchange(self, buf, l: int):
-        """ppermute the 3-row north / 2-row south halos of a level-l local
-        buffer.  Returns (buf with the 2 south-halo rows written just past
-        the data, (8, Wp) strip with rows 5..7 = north's last 3 rows and
-        rows 0..1 = south's first 2 rows); global edges get zeros."""
+        """ppermute the 4-row north / 4-row south halos of a level-l local
+        buffer.  Returns (buf with the 4 south-halo rows written just past
+        the data, (8, Wp) strip with rows 4..7 = north's last 4 rows and
+        rows 0..3 = south's first 4 rows); global edges get zeros.
+
+        Depth 4 serves every kernel family: the plain V-cycle legs read
+        rows 5..7 / 0..1 (a subset — round-3 behaviour unchanged), the
+        L=1 H-relax legs read rows 4..7 / 0..3 (hswrr's D+2 = 4-deep
+        windows)."""
         ax = self.axis
         R = self.base.pl[l].R
         Hloc = self.Hloc[l]
@@ -190,13 +200,13 @@ class ShardedPallasHierarchyV2:
             return jax.lax.ppermute(x, ax, perm)
 
         north = pperm(jax.lax.dynamic_slice(
-            buf, (R + Hloc - 3, 0), (3, self.Wp)), 1)
-        south = pperm(jax.lax.dynamic_slice(buf, (R, 0), (2, self.Wp)), -1)
+            buf, (R + Hloc - 4, 0), (4, self.Wp)), 1)
+        south = pperm(jax.lax.dynamic_slice(buf, (R, 0), (4, self.Wp)), -1)
         north = jnp.where(ix == 0, 0.0, north)
         south = jnp.where(ix == nx - 1, 0.0, south)
         strip = jnp.zeros((8, self.Wp), buf.dtype)
         strip = jax.lax.dynamic_update_slice(strip, south, (0, 0))
-        strip = jax.lax.dynamic_update_slice(strip, north, (5, 0))
+        strip = jax.lax.dynamic_update_slice(strip, north, (4, 0))
         buf = jax.lax.dynamic_update_slice(buf, south, (R + Hloc, 0))
         return buf, strip
 
@@ -269,8 +279,15 @@ class ShardedPallasHierarchyV2:
                 cur, spare = p.sweep(cb, fcb, dst=spare, uh=uh, bnd=bnd,
                                      ph_pad=ph, own_rows=self.Hloc[l])[0], cb
             return self._exchange_uc(cur, l)
-        # ---- agglomeration: gather the full coarse RHS, run the
-        # single-device subtree redundantly, re-slice without comm ----
+        return self._agglomerate(
+            l, fcb, lambda buf: base._coarse_correction(l, buf, nu1, nu2),
+            ix)
+
+    def _agglomerate(self, l: int, fcb, solve_fn, ix):
+        """Gather the full coarse RHS, run the single-device subtree
+        redundantly via ``solve_fn(buf) -> uc_full``, re-slice without
+        communication."""
+        base = self.base
         pS = base.pl[l]
         R = pS.R
         Hloc = self.Hloc[l]
@@ -279,7 +296,7 @@ class ShardedPallasHierarchyV2:
         HS = base.hier.levels[l].n_nodes
         buf = jnp.zeros(pS.buf_shape, fcb.dtype)
         buf = jax.lax.dynamic_update_slice(buf, full[:HS], (R, 0))
-        uc_full = base._coarse_correction(l, buf, nu1, nu2)
+        uc_full = solve_fn(buf)
         # slice this shard's rows [-3, Hloc+2) out of the replicated result
         # (bottom padding sized so the LAST shard's window stays in bounds
         # even when nx*Hloc overshoots the global padded row count)
@@ -405,4 +422,176 @@ class ShardedPallasHierarchyV2:
 
             self._compiled[key] = run
         u, hist = self._compiled[key](u0, f)
+        return u, trim_history(hist, eps)
+
+
+class ShardedPallasHMG(ShardedPallasHierarchyV2):
+    """H-MG (learned H-Net smoother) distributed over one mesh axis by node
+    rows (round 5; VERDICT r4 item #7 — the H-relax legs were single-device
+    only in round 4).
+
+    Cycle structure per level: hswrr (fused H-relax + residual + x4 FW
+    restriction, 4-deep halo windows riding the depth-4 exchange strips) +
+    phrelax (prolongation-add + H-relax).  Coarse H levels run the
+    from-zero hswrr + phrelax pair (the coarse_zero_legs=False flavour —
+    measured FASTER than the z-legs on chip, docs/kernel_notes_r4.md
+    finding 2 — and the only pair with shard halo support).  Levels below
+    ``shard_below`` agglomerate into the single-device PallasHMG subtree
+    exactly like the plain sharded path.
+
+    L=1 H-Net chains only (the production config since round 4): deeper
+    chains need halo windows beyond the 8-row strips."""
+
+    def __init__(self, problem: Problem, mesh: Mesh, axis: str = "x",
+                 num_levels: Optional[int] = None, omega=None,
+                 pallas_threshold: int = 256, rows: int = 64,
+                 rows_coarse: Optional[int] = 32,
+                 coarse_rows_below: int = 1024,
+                 interpret: Optional[bool] = None,
+                 direct_coarse: bool = False,
+                 shard_below: Optional[int] = None):
+        from multigrid_feanet_tpu.solvers.hmg import PallasHMG
+
+        base = PallasHMG(problem, num_levels=num_levels,
+                         pallas_threshold=pallas_threshold, rows=rows,
+                         rows_coarse=rows_coarse,
+                         coarse_rows_below=coarse_rows_below, omega=omega,
+                         interpret=interpret, direct_coarse=direct_coarse,
+                         coarse_zero_legs=False)
+        super().__init__(problem, mesh, axis=axis, num_levels=num_levels,
+                         pallas_threshold=pallas_threshold, rows=rows,
+                         rows_coarse=rows_coarse,
+                         coarse_rows_below=coarse_rows_below,
+                         interpret=interpret, shard_below=shard_below,
+                         base=base)
+
+    def _bounds_h(self, l: int, ix, L: int = 1):
+        """V2 bounds with the fine updatable-row cap extended by the conv
+        chain depth: the H-chain consumes NEIGHBOURS' jac increments, so a
+        shard must compute jac/corr on +L overlap rows past its own seam
+        (the mask would otherwise zero corr(Hloc+1), poisoning the chain
+        at the last owned row).  The depth-4 halo strips carry exactly the
+        rows this needs for L = 1."""
+        lv = self.base.hier.levels[l]
+        b = self._bounds(l, ix)
+        g0 = ix * self.Hloc[l]
+        hi = jnp.minimum(lv.n_nodes - 2 - g0, self.Hloc[l] + L)
+        return b.at[1].set(hi.astype(jnp.int32))
+
+    def _h_coarse_correction(self, l: int, fcb, params, ix):
+        """Distributed H-MG error-equation solve from zero at level l;
+        returns (uc_local, uc_strip) for the parent's phrelax."""
+        from multigrid_feanet_tpu.ops.pallas_hrelax import hswrr, phrelax
+
+        base = self.base
+        if l < self.S:
+            p = base.pl[l]
+            bnd = self._bounds_h(l, ix)
+            ph = self.ph_stack[l]
+            phh = self.phh_stack[l]
+            fcb, fstrip = self._exchange(fcb, l)
+            # from-zero descent: the zero iterate needs no u exchange
+            cur, spare = self._zeros_loc(l), self._zeros_loc(l)
+            out, fcc, _ = hswrr(p, cur, fcb, params, dst=spare, bnd=bnd,
+                                uh=None, fh=fstrip, phh=phh,
+                                out_rows=self.B[l + 1],
+                                own_rows=self.Hloc[l], ph_pad=ph)
+            cur, spare = out, cur
+            # overlap: u1's halo exchange rides under the coarse subtree
+            cb, uh = self._exchange(cur, l)
+            uc, ucstrip = self._h_coarse_correction(l + 1, fcc, params, ix)
+            u3 = phrelax(p, cb, fcb, uc, params, dst=spare, bnd=bnd, uh=uh,
+                         fh=fstrip, phh=phh, uch=ucstrip, ph_pad=ph)
+            return self._exchange(u3, l)
+        return self._agglomerate(
+            l, fcb, lambda buf: self.base._coarse_correction(l, buf, params),
+            ix)
+
+    def _h_cycle0(self, u, sp, fb, fstrip, params, ix):
+        from multigrid_feanet_tpu.ops.pallas_hrelax import hswrr, phrelax
+
+        base = self.base
+        p = base.pl[0]
+        bnd = self._bounds_h(0, ix)
+        ph = self.ph_stack[0]
+        phh = self.phh_stack[0]
+        cb, uh = self._exchange(u, 0)
+        out, fc, rsq = hswrr(p, cb, fb, params, dst=sp, bnd=bnd, uh=uh,
+                             fh=fstrip, phh=phh, out_rows=self.B[1],
+                             own_rows=self.Hloc[0], ph_pad=ph)
+        cur, spare = out, cb
+        # overlap: phrelax's u1 exchange is independent of the coarse
+        # correction — issue it before recursing
+        cb2, uh2 = self._exchange(cur, 0)
+        uc, ucstrip = self._h_coarse_correction(1, fc, params, ix)
+        u3 = phrelax(p, cb2, fb, uc, params, dst=spare, bnd=bnd, uh=uh2,
+                     fh=fstrip, phh=phh, uch=ucstrip, ph_pad=ph)
+        return u3, cb2, jax.lax.psum(rsq, self.axis)
+
+    def solve(self, params, f, u0=None, bc_value=0.0, eps: float = 5e-5,
+              max_cycles: int = 100):
+        """Distributed H-MG solve; same protocol as PallasHMG.solve (free
+        pre-relax residual history, one compiled call, one host fetch)."""
+        base = self.base
+        lv0 = base.hier.finest
+        H = lv0.n_nodes
+        if u0 is None:
+            u0 = jnp.zeros((H, H), base.pl[0].dtype)
+        u0 = reset_boundary(u0, lv0.geo, bc_value)
+
+        key = ("hsolve", float(eps), max_cycles, f.shape)
+        if key not in self._compiled:
+            ax = self.axis
+            ph_ins = [x for x in (self.ph_stack + self.phh_stack)
+                      if x is not None]
+
+            def shard_body(ub, fb, params, *phs):
+                it = iter(phs)
+                ph_loc = [next(it) if x is not None else None
+                          for x in self.ph_stack]
+                phh_loc = [next(it) if x is not None else None
+                           for x in self.phh_stack]
+                saved = (self.ph_stack, self.phh_stack)
+                self.ph_stack, self.phh_stack = ph_loc, phh_loc
+                try:
+                    ix = jax.lax.axis_index(ax)
+                    fb, fstrip = self._exchange(fb, 0)
+                    hist0 = jnp.full((max_cycles + 1,), -1.0, jnp.float32)
+
+                    def cond(c):
+                        u, sp, k, res, hist = c
+                        return (res > eps) & (k < max_cycles)
+
+                    def body(c):
+                        u, sp, k, res, hist = c
+                        u, sp, rsq = self._h_cycle0(u, sp, fb, fstrip,
+                                                    params, ix)
+                        res = jnp.sqrt(rsq).astype(jnp.float32)
+                        return (u, sp, k + 1, res, hist.at[k].set(res))
+
+                    u, sp, k, res, hist = jax.lax.while_loop(
+                        cond, body,
+                        (ub, jnp.zeros_like(ub), jnp.int32(0),
+                         jnp.float32(jnp.inf), hist0))
+                    return u, hist
+                finally:
+                    self.ph_stack, self.phh_stack = saved
+
+            n_ph = len(ph_ins)
+            sharded = shard_map(
+                shard_body, mesh=self.mesh,
+                in_specs=(P(ax, None), P(ax, None), P())
+                + (P(ax, None),) * n_ph,
+                out_specs=(P(ax, None), P()),
+                check_vma=False)
+
+            @jax.jit
+            def run(u0_plain, f_plain, params):
+                ub = self._stack_field(0, u0_plain)
+                fb = self._stack_field(0, f_plain)
+                u, hist = sharded(ub, fb, params, *ph_ins)
+                return self._unstack_field(0, u), hist
+
+            self._compiled[key] = run
+        u, hist = self._compiled[key](u0, f, jnp.asarray(params))
         return u, trim_history(hist, eps)

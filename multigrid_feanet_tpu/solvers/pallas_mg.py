@@ -273,55 +273,67 @@ def solve_ir(ph: PallasHierarchy, f, u0=None, bc_value=None, nu1: int = 1, nu2: 
 
     lv32 = ph.hier.finest
     H = lv32.n_nodes
-    # f64 twin of the finest operator for residual evaluation
-    problem64 = Problem(
-        n=lv32.n, size=lv32.h * lv32.n,
-        coefficients=(lv32.a0, lv32.a1) if lv32.a0 is not None else (1.0, 1.0),
-        inclusion=None if lv32.pid is None else (lambda _n: None),
-        dtype=jnp.float64,
-    )
-    if lv32.pid is None:
-        lv64 = build_level(problem64, lv32.n)
-    else:
-        lv64 = lv32.replace(
-            table=lv32.table.astype(jnp.float64),
-            diag=lv32.diag.astype(jnp.float64),
-            geo=lv32.geo.astype(jnp.float64),
+    # f64 twin of the finest operator for residual evaluation — built and
+    # shipped ONCE per hierarchy (the homogeneous twin alone is ~270 MB of
+    # host-assembled f64 planes; rebuilding it per call cost ~1.5 s of
+    # tunnel transfers at 4097^2)
+    twin_key = ("ir_lv64",)
+    if twin_key not in ph._compiled:
+        problem64 = Problem(
+            n=lv32.n, size=lv32.h * lv32.n,
+            coefficients=(lv32.a0, lv32.a1) if lv32.a0 is not None else (1.0, 1.0),
+            inclusion=None if lv32.pid is None else (lambda _n: None),
+            dtype=jnp.float64,
         )
+        if lv32.pid is None:
+            lv64 = build_level(problem64, lv32.n)
+        else:
+            lv64 = lv32.replace(
+                table=lv32.table.astype(jnp.float64),
+                diag=lv32.diag.astype(jnp.float64),
+                geo=lv32.geo.astype(jnp.float64),
+            )
+        ph._compiled[twin_key] = (lv64, lv64.geo.astype(jnp.float64))
+    lv64, geo64 = ph._compiled[twin_key]
     f64 = jnp.asarray(f, dtype=jnp.float64)
     u = jnp.zeros((H, H), jnp.float64) if u0 is None else jnp.asarray(u0, jnp.float64)
     if bc_value is not None:
         u = reset_boundary(u, lv64.geo, jnp.asarray(bc_value, jnp.float64))
 
-    # cache the compiled f64 residual on the hierarchy (a fresh jit per
-    # solve_ir call would recompile every time)
-    ir_key = ("ir_residual64",)
+    # TWO compiled programs per outer iteration (round 5 — the round-4
+    # shape ran ~8 separately-dispatched eager ops per outer through the
+    # remote tunnel and measured 4.2 s at 4097^2 against ~100 ms of actual
+    # compute): (1) the fused outer step — f64 correction accumulate +
+    # f64 residual + its norm + the f32 downcast — and (2) the f32
+    # correction solve.  Both cached on the hierarchy.
+    ir_key = ("ir_outer64",)
     if ir_key not in ph._compiled:
 
         @jax.jit
-        def _residual64(u, f64):
+        def _outer64(u, e32, f64, geo64):
+            # geo64 rides as an argument: a closed-over 134 MB f64 plane
+            # would be inlined as an HLO constant (see pallas_boxmg._bufs)
+            u = u + e32.astype(jnp.float64) * geo64
             r = f64 - lv64.apply(u)
-            return r, jac.interior_norm(r)
+            return u, r.astype(jnp.float32), jac.interior_norm(r)
 
-        ph._compiled[ir_key] = _residual64
-    residual64 = lambda u: ph._compiled[ir_key](u, f64)
+        ph._compiled[ir_key] = _outer64
+    outer64 = ph._compiled[ir_key]
 
     history = []
+    e32 = jnp.zeros((H, H), jnp.float32)
     for _ in range(max_outer):
-        r, rn = residual64(u)
-        history.append(float(rn))
+        u, r32, rn = outer64(u, e32, f64, geo64)
+        history.append(float(rn))  # ONE host sync per outer
         if history[-1] <= eps:
             break
         # correction solve in f32 with zero Dirichlet data.  Trace it with
         # x64 disabled: Mosaic's convert-element-type lowering recurses
-        # infinitely when a Pallas kernel is traced in x64 mode.  The cast
-        # stays on device — no host round-trips per outer iteration.
+        # infinitely when a Pallas kernel is traced in x64 mode.
         # jax.enable_x64(False) is a thread-local SCOPED override (part of
         # the jit trace-cache key), not a global flag flip, so concurrent
         # tracing in other threads is unaffected.
-        r32 = r.astype(jnp.float32)
         with jax.enable_x64(False):
             e32, _ = ph.solve(r32, nu1=nu1, nu2=nu2,
                               eps=0.0, max_cycles=cycles_per_correction)
-        u = u + jnp.asarray(e32, jnp.float64) * jnp.asarray(lv64.geo)
     return u, np.asarray(history)

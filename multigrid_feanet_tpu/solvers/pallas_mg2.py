@@ -69,7 +69,8 @@ class PallasHierarchyV2:
                  direct_coarse: bool = True, psweep_vmem_mb: Optional[int] = None,
                  rows_coarse: Optional[int] = 32, coarse_rows_below: int = 1024,
                  hier: Optional[GridHierarchy] = None, coefficients=None,
-                 mass_fn=None, dtype=jnp.float32):
+                 mass_fn=None, dtype=jnp.float32,
+                 dform: Optional[bool] = None):
         """``hier``/``coefficients``/``mass_fn`` generalize the solver to any
         phase-affine operator of the form  c * K + M  (stiffness scaled by a
         constant plus a pattern-independent per-element operator): pass the
@@ -124,7 +125,8 @@ class PallasHierarchyV2:
                             coefficients=coeffs, omega=omega,
                             Wp=Wp, rows=R_l, rows_next=R_next,
                             interpret=interpret, dtype=dtype,
-                            mass=(mass_fn(lv) if mass_fn is not None else None))
+                            mass=(mass_fn(lv) if mass_fn is not None else None),
+                            dform=dform)
             Wp = p.Wp
             self.pl.append(p)
         self.coarse_inv = None

@@ -97,11 +97,15 @@ def test_fused_hmg_legs_match_compositions(bim, L):
     rng = np.random.default_rng(0)
     n = 64
     phase = geometry.circle_phase(2.0, n) if bim else None
+    # dform=False: the H-relax kernel family computes its residuals in the
+    # PLAIN element-factored form (no difference-form variant yet), so the
+    # bitwise composition oracle (restrict_residual) must match that form.
     p = PallasLevel(n, stride=1, phase=phase, rows=32, rows_next=32,
-                    interpret=True)
+                    interpret=True, dform=False)
     pc = PallasLevel(n // 2, stride=2,
                      phase=geometry.circle_phase(2.0, n // 2) if bim else None,
-                     Wp=p.Wp, rows=32, rows_next=32, interpret=True)
+                     Wp=p.Wp, rows=32, rows_next=32, interpret=True,
+                     dform=False)
     params = jnp.asarray(rng.standard_normal((L, 3, 3)) * 0.1, jnp.float32)
     u = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
     f = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)

@@ -126,9 +126,11 @@ def test_v2_solve_pcg_nonzero_bc_matches_vcycle_fixed_point():
 
 
 def test_v2_solve_pcg_breakdown_guard_stops_at_floor():
-    """Pushed below the f32 floor (eps=0), the divergence guard stops the
-    loop instead of letting CG climb back up: the final recorded residual
-    stays within 4x of the best seen."""
+    """Pushed below the f32 floor (eps=0), CG must not run away: either
+    the 4x divergence guard stops the loop early, or (with the
+    difference-form kernels, whose floor noise is unbiased) the residual
+    hovers stably at the floor.  Without guard+dform the residual climbed
+    ~4000x above the floor (measured 0.073 from a 1.8e-5 best)."""
     prob = Problem(n=32, inclusion=("circle", (0.0, 0.0), 0.5))
     ph = PallasHierarchyV2(prob, pallas_threshold=16, rows=32,
                            interpret=True, direct_coarse=True)
@@ -136,9 +138,5 @@ def test_v2_solve_pcg_breakdown_guard_stops_at_floor():
     f = jnp.asarray(rng.standard_normal((33, 33)), jnp.float32)
     _, hist = ph.solve_pcg(f, bc_value=0.7, eps=0.0, max_iters=60)
     hist = np.asarray(hist)
-    assert len(hist) < 60  # guard fired, did not burn the full budget
-    # the final entry is the one that tripped the 4x guard; without the
-    # guard the residual climbs ~4000x above the floor (measured 0.073
-    # from a 1.8e-5 best at these seeds)
-    assert hist[-2] <= 4.0 * hist.min() * 1.01
     assert hist[-1] <= 20.0 * hist.min()
+    assert hist.max() == hist[0]  # monotone-ish: never climbs above start

@@ -238,3 +238,41 @@ def test_heat_mass_kernels_parity(bim):
     u3_z = pl_lv.zpsweep(f_pad, uc_pad, R_up=R)
     u3_sep, _ = pl_lv.psweep(u1z, f_pad, uc_pad, R_up=R)
     assert _rel_err(pl_lv.unpad(u3_z), pl_lv.unpad(u3_sep)) < 1e-6
+
+
+def test_difference_form_annihilates_constants_and_matches():
+    """The difference-form apply (_apply_bim_d/_apply_hom_d): exactly zero
+    on constant fields (the property that kills the kappa-amplified
+    rounding bias at 4097^2 — see the r5 kernel notes), and equal to the
+    plain form to f32 roundoff on general fields."""
+    import numpy as np
+    from multigrid_feanet_tpu.core import geometry
+    from multigrid_feanet_tpu.ops import stencil as st
+    from multigrid_feanet_tpu.ops.pallas_sweep import PallasLevel
+
+    n = 64
+    phase = geometry.circle_phase(2.0, n)
+    rng = np.random.default_rng(0)
+    H = n + 1
+    f = jnp.asarray(rng.standard_normal((H, H)), jnp.float32)
+    for dfo in (False, True):
+        lv = PallasLevel(n, stride=1, phase=phase, coefficients=(1.0, 20.0),
+                         rows=32, interpret=True, dform=dfo)
+        # constant iterate (large value): r = f - A c must be EXACTLY f at
+        # the interior under the difference form
+        c = 150000.0
+        u_const = jnp.full((H, H), c, jnp.float32)
+        r_pad, _ = lv.residual(lv.pad(u_const), lv.pad(f))
+        r = np.asarray(lv.unpad(r_pad))[1:-1, 1:-1]
+        want = np.asarray(f)[1:-1, 1:-1]
+        if dfo:
+            np.testing.assert_array_equal(r, want)
+        # general-field parity with the XLA bitplane form
+        u = jnp.asarray(rng.standard_normal((H, H)), jnp.float32)
+        pid = st.pattern_ids_np(np.asarray(phase))
+        au = st.apply_stencil_bitplane(jnp.asarray(pid), u, 1.0, 20.0)
+        geo = np.zeros((H, H), np.float32); geo[1:-1, 1:-1] = 1
+        want_r = np.asarray((f - au) * jnp.asarray(geo))
+        r2_pad, _ = lv.residual(lv.pad(u), lv.pad(f))
+        r2 = np.asarray(lv.unpad(r2_pad))
+        np.testing.assert_allclose(r2, want_r, atol=2e-5)
