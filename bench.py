@@ -98,13 +98,50 @@ def main():
     lv_ho = PallasLevel(n, stride=1, phase=None, interpret=False, dform=False)
     dt_ho = v2_sweep_time(lv_ho)
     rate_bi, rate_ho = nnz / dt_bi, nnz / dt_ho
+
+    # Q-stream variant (ops/pallas_qsweep.py, round 5): precomputed bf16
+    # per-element coefficients instead of the int8 phase decode — EXACT
+    # for the (1, 20) pair, +19% on the standalone bi-material sweep
+    from multigrid_feanet_tpu.ops import pallas_qsweep as qs
+
+    q_pad = qs.make_q_pad(lv_bi, phase, (1.0, 20.0), dtype=jnp.bfloat16)
+
+    def q_sweep_time(lengths=(64, 320)):
+        f_pad = lv_bi.pad(f)
+
+        def make(length):
+            @jax.jit
+            def loop(a, b):
+                def body(c, _):
+                    a, b = c
+                    x = qs.qsweep(lv_bi, a, f_pad, q_pad, dst=b)
+                    y = qs.qsweep(lv_bi, x, f_pad, q_pad, dst=a)
+                    return (y, x), None
+                return jax.lax.scan(body, (a, b), None, length=length)[0]
+            return loop
+
+        ts = {}
+        for length in lengths:
+            loop = make(length)
+            a, b = loop(lv_bi.pad(u), lv_bi.zeros())
+            jax.block_until_ready(a)
+            best = np.inf
+            for _ in range(3):
+                t0 = time.time()
+                a, b = loop(a, b)
+                jax.block_until_ready(a)
+                best = min(best, time.time() - t0)
+            ts[length] = best
+        return (ts[lengths[1]] - ts[lengths[0]]) / (2 * (lengths[1] - lengths[0]))
+
+    dt_q16 = q_sweep_time()
     # bf16-storage sweep (f32 in-kernel compute): halves the HBM stream of
     # the stream-bound homogeneous form -> measured ~1.6x.  The bi-material
     # form and the fused V-cycle legs are VPU-compute-bound and do NOT
     # speed up (docs/kernel_notes_r4.md findings 5/6), so f32 stays the
     # production dtype for solves.
     lv_ho16 = PallasLevel(n, stride=1, phase=None, interpret=False,
-                          dtype=jnp.bfloat16)
+                          dtype=jnp.bfloat16, dform=False)
     dt_ho16 = v2_sweep_time(lv_ho16)
 
     # --- round-1 temporally-fused k-sweep rates (continuity rows) ---
@@ -219,6 +256,16 @@ def main():
         ts_bx[mc] = best
     boxmg_ms_cycle = (ts_bx[18] - ts_bx[6]) / 12 * 1e3
 
+    # scalar MG-preconditioned flexible CG on the interface problem (the
+    # round-4 untested twin, now tested + benched — VERDICT r4 #3)
+    ph_bi.solve_pcg(f0, u0=u0bi, eps=1e-6, max_iters=60)
+    t_pcg_bi = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        upc, hpc = ph_bi.solve_pcg(f0, u0=u0bi, eps=1e-6, max_iters=60)
+        jax.block_until_ready(upc)
+        t_pcg_bi = min(t_pcg_bi, time.time() - t0)
+
     # --- heat theta-system on the fused Pallas kernels, 4097^2 ---
     # sweep: PallasLevel with the mass triple (M + theta dt K); march: 10
     # implicit steps, 2 V(1,1) cycles each, ONE lax.scan dispatch
@@ -305,9 +352,14 @@ def main():
             best = min(best, time.time() - t0)
         ts_e[mc] = best
     elastic_cycle_ms = (ts_e[12] - ts_e[4]) / 8 * 1e3
-    # asymptotic tail factor (geometric mean of the last 4 ratios) — the
-    # honest number VERDICT r3 #3 asked for, not the early-cycle average
+    # TRANSIENT tail factor at 12 cycles (kept for cross-round continuity)
     elastic_q = float(np.exp(np.mean(np.diff(np.log(np.asarray(he)))[-4:])))
+    # true asymptotic factor: long window (round 5 — the 12-cycle tail is
+    # a transient; f64 long-window measures ~0.82 at n=64..128,
+    # results/elastic_boxmg/summary.json; block-BoxMG W(2,2) cures to 0.43)
+    _, he_long = emg.solve(fe0, u0=ue0, nu1=2, nu2=2, eps=0.0, max_cycles=60)
+    elastic_q_asym = float(np.exp(np.mean(
+        np.diff(np.log(np.asarray(he_long)))[-8:])))
     # production elastic path: MG-preconditioned flexible CG (the plain
     # V(2,2) tail degrades with n as bilinear transfers kink across the
     # 20:1 jump; Krylov acceleration restores ~sqrt of the cycle factor)
@@ -410,6 +462,8 @@ def main():
         "sweep_us_bimaterial": dt_bi * 1e6,
         "sweep_us_bimaterial_dform": dt_bi_d * 1e6,
         "nnz_per_s_bimaterial_dform": nnz / dt_bi_d,
+        "sweep_us_bimaterial_qbf16": dt_q16 * 1e6,
+        "nnz_per_s_bimaterial_qbf16": nnz / dt_q16,
         "sweep_us_homogeneous": dt_ho * 1e6,
         "nnz_per_s_homogeneous": rate_ho,
         "sweep_us_homogeneous_bf16": dt_ho16 * 1e6,
@@ -430,11 +484,15 @@ def main():
         "boxmg_4097_ms_per_cycle": boxmg_ms_cycle,
         "boxmg_4097_setup_s": boxmg_setup_s,
         "boxmg_4097_build_s": boxmg_build_s,
+        "pcg_4097_bimaterial_iters": len(hpc),
+        "pcg_4097_bimaterial_s": t_pcg_bi,
+        "pcg_4097_bimaterial_final_res": float(hpc[-1]),
         "heat_sweep_us_4097_bimaterial": heat_sweep_us,
         "heat_march_ms_per_step_4097": heat_march_ms,
         "elastic_sweep_us_2049_bimaterial": elastic_sweep_us,
         "elastic_mg_ms_per_cycle_2049": elastic_cycle_ms,
         "elastic_mg_q_v22": elastic_q,
+        "elastic_mg_q_v22_asymptotic": elastic_q_asym,
         "elastic_pcg_contraction_2049": elastic_pcg_contraction,
         "elastic_pcg_drop_16it": elastic_pcg_drop16,
         "elastic_pcg_16it_s": t_pcg,

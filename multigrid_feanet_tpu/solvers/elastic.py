@@ -360,9 +360,11 @@ def _emg_solve_pcg(self, f, u0=None, nu1: int = 2, nu2: int = 2,
     """Flexible-CG accelerated elastic solve with one fused V(nu1, nu2)
     cycle as the preconditioner (round 4, VERDICT r3 #3).
 
-    The bi-material interface problem's V-cycle factor degrades with n
-    (bilinear transfers kink across the 20:1 coefficient jump: tail q
-    ~0.43 at 257^2 -> ~0.74 at 2049^2, results/elastic_mg_tpu.json).  The
+    The bi-material interface problem's plain V-cycle is asymptotically
+    slow (bilinear transfers kink across the 20:1 coefficient jump: true
+    asymptotic tail q ~ 0.82 measured f64/long-window at n=64..128,
+    results/elastic_boxmg/summary.json — earlier shorter-window readings
+    of 0.43-0.74 were transients).  The
     operator is SPD, so Krylov acceleration restores fast convergence:
     flexible PCG (Polak-Ribiere beta, robust to the mildly nonsymmetric
     preconditioner) contracts per iteration like ~sqrt of the cycle's

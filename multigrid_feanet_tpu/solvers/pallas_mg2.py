@@ -359,9 +359,9 @@ class PallasHierarchyV2:
         twin of solvers/elastic.py::solve_pcg.
 
         On the bi-material interface problem the V-cycle factor degrades
-        with n (bilinear transfers kink across the 20:1 jump; see
-        ops/adaptive_transfer.py for the training-free fix at research
-        scale), and the operator is SPD, so Krylov acceleration contracts
+        with n (bilinear transfers kink across the 20:1 jump; the
+        operator-induced BoxMG hierarchy, solvers/pallas_boxmg.py, is the
+        production fix), and the operator is SPD, so Krylov acceleration contracts
         ~sqrt of the cycle's error factor per iteration at ~1.4 cycles of
         cost (one V-cycle + one fused A-apply + one fused true-residual
         pass — residual replacement every iteration, so the returned u's

@@ -276,3 +276,26 @@ def test_difference_form_annihilates_constants_and_matches():
         r2_pad, _ = lv.residual(lv.pad(u), lv.pad(f))
         r2 = np.asarray(lv.unpad(r2_pad))
         np.testing.assert_allclose(r2, want_r, atol=2e-5)
+
+
+def test_qstream_sweep_matches_phase_sweep():
+    """ops/pallas_qsweep: the coefficient-stream sweep equals the int8
+    phase sweep (bf16 Q is exact for the (1, 20) pair)."""
+    import numpy as np
+    from multigrid_feanet_tpu.core import geometry
+    from multigrid_feanet_tpu.ops import pallas_qsweep as qs
+    from multigrid_feanet_tpu.ops.pallas_sweep import PallasLevel
+
+    n = 64
+    phase = geometry.circle_phase(2.0, n)
+    lv = PallasLevel(n, stride=1, phase=phase, coefficients=(1.0, 20.0),
+                     rows=32, interpret=True, dform=False)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    want, _ = lv.sweep(lv.pad(u), lv.pad(f), dst=lv.zeros())
+    for dt in (jnp.float32, jnp.bfloat16):
+        q_pad = qs.make_q_pad(lv, phase, (1.0, 20.0), dtype=dt)
+        got = qs.qsweep(lv, lv.pad(u), lv.pad(f), q_pad)
+        np.testing.assert_array_equal(np.asarray(lv.unpad(got)),
+                                      np.asarray(lv.unpad(want)))
