@@ -12,6 +12,20 @@ bilinear identically).
 
 Run:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python experiments/intergrid_boxmg_init.py
 Writes results/intergrid_boxmg/summary.json.
+
+MEASURED CONCLUSIONS (2026-08-21, negative result — VERDICT r4 #10):
+- The untrained per-pattern approximation scores mgTest q(n=64) = 0.599
+  with held-out convergence at n=16..64 — between linear (0.633) and the
+  trained models (best ref checkpoint 0.569, our multi-size 0.547).
+- Fine-tuning FROM this init with the multi-size q_m RHS recipe
+  DESTABILIZES at both lr 3e-4 and 1e-4 (loss drifts upward, eval
+  q -> ~1.0, held-out solves stall) — the asymmetric init sits near a
+  cliff of this loss protocol.
+- The full operator-induced transfers (q = 0.428) keep the leaderboard
+  crown; the 0.599-vs-0.428 gap MEASURES how much of BoxMG's power lives
+  in the neighbour composition that a per-pattern 3x3 kernel cannot
+  express (the Fc weights depend on the ADJACENT nodes' collapse, not
+  only the node's own pattern).
 """
 from __future__ import annotations
 
@@ -112,7 +126,8 @@ def main():
     np.testing.assert_allclose(np.asarray(p0.conv[0]),
                                intergrid.FULL_WEIGHTING_16, atol=1e-7)
     models = {"boxmg_init_untrained": p0,
-              "boxmg_init_ft": finetune("boxmg_ft", p0, 3e-4, 1200)}
+              "boxmg_init_ft_lr1e4": finetune("boxmg_ft_lr1e4", p0, 1e-4,
+                                              800)}
     report = {}
     for name, p in models.items():
         q64, _ = eval_mgtest_q(_hier(64), p)
