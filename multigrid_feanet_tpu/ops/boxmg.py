@@ -240,14 +240,19 @@ def galerkin_rap(S: jax.Array, W4: jax.Array) -> jax.Array:
     m = (S.shape[0] - 1) // 2 + 1
     dtype = W4.dtype
     I = jnp.arange(m)
-    # all nine probes through ONE vmapped R A P trace (a 9x smaller traced
-    # program than nine sequential probes — XLA compile time at deep
-    # hierarchies is the setup cost, the compute itself is trivial)
-    probes = jnp.stack(
-        [((I[:, None] % 3 == a) & (I[None, :] % 3 == b)).astype(dtype)
-         for a in range(3) for b in range(3)])
-    ys_all = jax.vmap(
-        lambda e: restrict_w4(apply_s9(S, prolong_w4(e, W4)), W4))(probes)
+
+    # all nine probes through ONE traced R A P body (a 9x smaller traced
+    # program than nine sequential traces — XLA compile time at deep
+    # hierarchies is the setup cost) — but SEQUENTIALLY via lax.map, with
+    # each probe lattice built in-body from its index: the vmapped form
+    # materialized four (9, H, H) f32 temps in a 1.8x-padded layout and
+    # ran out of HBM at 8193^2 (20.6 GB against 15.75).
+    def one_probe(k):
+        a, b = k // 3, k % 3
+        e = ((I[:, None] % 3 == a) & (I[None, :] % 3 == b)).astype(dtype)
+        return restrict_w4(apply_s9(S, prolong_w4(e, W4)), W4)
+
+    ys_all = jax.lax.map(one_probe, jnp.arange(9))
     ys = {(a, b): ys_all[3 * a + b] for a in range(3) for b in range(3)}
     cols = []
     for dr in range(3):

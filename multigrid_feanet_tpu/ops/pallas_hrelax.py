@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from multigrid_feanet_tpu.ops.pallas_sweep import (
     PallasLevel,
     _apply_bim,
+    _apply_op,
     _halo_spec,
     _apply_hom,
     _c4_from_q,
@@ -53,7 +54,7 @@ from multigrid_feanet_tpu.ops.pallas_sweep import (
 
 def _hrelax_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, dst_ref, u_out,
                    rsq_ref, ucache, fcache, phcache, *, R, H, W, Wp, a0, da,
-                   omega, s, nb, bim, L):
+                   omega, s, nb, bim, L, dform=False):
     """Grid step i emits node rows [(i-1)R, iR).
 
     All inputs lag by ONE block (u/f/ph block i+1 -> rows [iR, (i+1)R)).
@@ -74,10 +75,10 @@ def _hrelax_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, dst_ref, u_out,
     fw = jnp.concatenate([fcache[...], f_ref[0 : D - 1, :]], axis=0)
     if bim:
         phw = jnp.concatenate([phcache[...], ph_ref[0 : D - 1, :]], axis=0)
-        au, C4 = _apply_bim(uw, phw, R + 2 * D, a0, da, s)
+        au, C4 = _apply_op(uw, phw, R + 2 * D, a0, da, s, None, True, dform)
         d = (2.0 / 3.0) * C4
     else:
-        au, _ = _apply_hom(uw, R + 2 * D, a0, s)
+        au, _ = _apply_op(uw, None, R + 2 * D, a0, da, s, None, False, dform)
         d = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
 
     # jac on node rows [row0 + 1, row0 + R + 2D - 1): select-masked (d may
@@ -111,9 +112,9 @@ def _hrelax_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, dst_ref, u_out,
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "omega", "s", "L", "interpret",
-    "vmem_mb"))
+    "vmem_mb", "dform"))
 def _run_hrelax(u_pad, f_pad, ph_pad, params, dst, bnd, *, R, H, W, Wp,
-                a0, da, omega, s, L, interpret, vmem_mb=None):
+                a0, da, omega, s, L, interpret, vmem_mb=None, dform=False):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if dst is None:
@@ -121,7 +122,8 @@ def _run_hrelax(u_pad, f_pad, ph_pad, params, dst, bnd, *, R, H, W, Wp,
     if bnd is None:
         bnd = _default_bounds(H, W)
     kern = functools.partial(_hrelax_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0,
-                             da=da, omega=omega, s=s, nb=nb, bim=bim, L=L)
+                             da=da, omega=omega, s=s, nb=nb, bim=bim, L=L,
+                             dform=dform)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 1)]
     args = [u_pad, f_pad]
     if bim:
@@ -162,7 +164,8 @@ def _run_hrelax(u_pad, f_pad, ph_pad, params, dst, bnd, *, R, H, W, Wp,
     return out, jnp.sum(rsq)
 
 
-def hrelax(level: PallasLevel, u_pad, f_pad, params, dst=None, bnd=None):
+def hrelax(level: PallasLevel, u_pad, f_pad, params, dst=None, bnd=None,
+           dform: bool = False):
     """One fused H-relax sweep on a PallasLevel's padded buffers ->
     (u_new, rsq) with ``rsq`` the pre-update interior residual norm^2.
     ``params``: (L, 3, 3) H-Net conv kernels; donates ``dst``."""
@@ -170,7 +173,8 @@ def hrelax(level: PallasLevel, u_pad, f_pad, params, dst=None, bnd=None):
                        R=level.R, H=level.H, W=level.W, Wp=level.Wp,
                        a0=level.a0, da=level.da, omega=level.omega,
                        s=level.s, L=int(params.shape[0]),
-                       interpret=level.interpret, vmem_mb=level.vmem_mb)
+                       interpret=level.interpret, vmem_mb=level.vmem_mb,
+                       dform=dform)
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +218,8 @@ def _hchain(x, k_ref, L, s, base, Wp, lo, hi, W):
     return x
 
 
-def _jac_rows(uw, fw, phw, K, a0, da, omega, s, row0, Wp, lo, hi, W, bim):
+def _jac_rows(uw, fw, phw, K, a0, da, omega, s, row0, Wp, lo, hi, W, bim,
+              dform=False):
     """Weighted-Jacobi update on the K-2 inner rows of ``uw``.
 
     ``uw``: (K, Wp) u rows [row0, row0+K); ``fw``: (K-2, Wp) f rows
@@ -223,10 +228,10 @@ def _jac_rows(uw, fw, phw, K, a0, da, omega, s, row0, Wp, lo, hi, W, bim):
     (boundary rows keep their value), the masked increment jac - u, and the
     masked pre-update residual."""
     if bim:
-        au, C4 = _apply_bim(uw, phw, K, a0, da, s)
+        au, C4 = _apply_op(uw, phw, K, a0, da, s, None, True, dform)
         d = (2.0 / 3.0) * C4
     else:
-        au, _ = _apply_hom(uw, K, a0, s)
+        au, _ = _apply_op(uw, None, K, a0, da, s, None, False, dform)
         d = jnp.asarray((8.0 / 3.0) * a0, jnp.float32)
     m = _interior_mask(row0 + 1, K - 2, Wp, lo, hi, W, s)
     uin = uw[1 : K - 1, :]
@@ -282,7 +287,7 @@ def _prolong_rows(cw, Wp, s, row0, lo, hi, W):
 def _hswrr_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, uh_ref, fh_ref,
                   phh_ref, dst_ref, u1_out, fc_out, rsq_ref, ucache, fcache,
                   phcache, *, R, H, W, Wp, a0, da, omega, s, nb, own_hi, bim,
-                  L):
+                  L, dform=False):
     """Fused H-MG descent leg.  Grid step i emits u1 = hrelax(u0) node rows
     [(i-1)R, iR), coarse rows [(i-1)R/2, iR/2) of f_c = 4 FW(f - A u1), and
     the free pre-update residual norm^2 of u0 (rows [(i-1)R - 1, iR - 1)).
@@ -315,7 +320,7 @@ def _hswrr_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, uh_ref, fh_ref,
 
     # jac on R+2D+2 rows [row0+1, ...) = [(i-1)R - D - 1, iR + D + 1)
     jac, x0, r0 = _jac_rows(uw, fw, phw, R + 2 * D + 4, a0, da, omega, s,
-                            row0, Wp, lo, hi, W, bim)
+                            row0, Wp, lo, hi, W, bim, dform)
     x = _hchain(x0, k_ref, L, s, row0 + 1, Wp, lo, hi, W)  # (R+4) rows
     u1 = jac[L : L + R + 4, :] + x  # rows [(i-1)R - 2, iR + 2)
     u1_out[...] = u1[2 : R + 2, :]
@@ -328,10 +333,8 @@ def _hswrr_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, uh_ref, fh_ref,
         rsq_ref[i - 1, 0] = jnp.sum(rq * rq)
 
     # residual of u1 on R+2 rows [(i-1)R - 1, iR + 1)
-    if bim:
-        au1, _ = _apply_bim(u1, phw[D : D + R + 3, :], R + 4, a0, da, s)
-    else:
-        au1, _ = _apply_hom(u1, R + 4, a0, s)
+    au1, _ = _apply_op(u1, phw[D : D + R + 3, :] if bim else None, R + 4,
+                       a0, da, s, None, bim, dform)
     r1 = fw[D : D + R + 2, :] - au1
     r1 = jnp.where(_interior_mask(row0 + D + 1, R + 2, Wp, lo, hi, W, s),
                    r1, 0.0)
@@ -358,7 +361,7 @@ def _hswrr_kernel(u_ref, f_ref, ph_ref, k_ref, bnd_ref, uh_ref, fh_ref,
 def _phrelax_kernel(u_ref, f_ref, ph_ref, uc_ref, k_ref, bnd_ref, uh_ref,
                     fh_ref, phh_ref, uch_ref, dst_ref, u_out, ucache, fcache,
                     phcache, ucc, *, R, H, W, Wp, a0, da, omega, s, nb, bim,
-                    L):
+                    L, dform=False):
     """Fused H-MG ascent leg.  Grid step i emits node rows [(i-1)R, iR) of
     u3 = hrelax(u1 + P(uc)).
 
@@ -394,7 +397,7 @@ def _phrelax_kernel(u_ref, f_ref, ph_ref, uc_ref, k_ref, bnd_ref, uh_ref,
     corr = _prolong_rows(cw, Wp, s, row0, lo, hi, W)  # (R+2D) rows [row0,)
     u2 = uw + corr
     jac, x0, _ = _jac_rows(u2, fw, phw, R + 2 * D, a0, da, omega, s, row0,
-                           Wp, lo, hi, W, bim)
+                           Wp, lo, hi, W, bim, dform)
     x = _hchain(x0, k_ref, L, s, row0 + 1, Wp, lo, hi, W)  # (R) rows
     u_out[...] = jac[L : L + R, :] + x  # rows [(i-1)R, iR)
 
@@ -415,7 +418,8 @@ def _phrelax_kernel(u_ref, f_ref, ph_ref, uc_ref, k_ref, bnd_ref, uh_ref,
 
 
 def _zhswrr_kernel(f_ref, ph_ref, k_ref, bnd_ref, fc_out, fcache, phcache,
-                   *, R, H, W, Wp, a0, da, omega, s, nb, bim, L):
+                   *, R, H, W, Wp, a0, da, omega, s, nb, bim, L,
+                   dform=False):
     """Zero-initial-guess fused H-MG descent leg: with u1 = hrelax(0)
     computed entirely in-register (g0 = (omega/d) f is pointwise), emit
     coarse rows [(i-1)R/2, iR/2) of f_c = 4 FW(f - A u1).  u1 never touches
@@ -434,11 +438,9 @@ def _zhswrr_kernel(f_ref, ph_ref, k_ref, bnd_ref, fc_out, fcache, phcache,
 
     u1 = _hrelax0_rows(fw, phw, k_ref, R + 2 * L + 4, L, a0, da, omega, s,
                        row0f, Wp, lo, hi, W, bim)  # (R+4) rows
-    if bim:
-        # element rows [(i-1)R - 2, iR + 1)
-        au1, _ = _apply_bim(u1, phw[L + 1 : L + R + 4, :], R + 4, a0, da, s)
-    else:
-        au1, _ = _apply_hom(u1, R + 4, a0, s)
+    # element rows [(i-1)R - 2, iR + 1) when bim
+    au1, _ = _apply_op(u1, phw[L + 1 : L + R + 4, :] if bim else None,
+                       R + 4, a0, da, s, None, bim, dform)
     r1 = fw[L + 1 : L + R + 3, :] - au1  # rows [(i-1)R - 1, iR + 1)
     r1 = jnp.where(_interior_mask(row0f + L + 1, R + 2, Wp, lo, hi, W, s),
                    r1, 0.0)
@@ -457,7 +459,7 @@ def _zhswrr_kernel(f_ref, ph_ref, k_ref, bnd_ref, fc_out, fcache, phcache,
 
 def _zphrelax_kernel(f_ref, ph_ref, uc_ref, k_ref, bnd_ref, dst_ref, u_out,
                      fcache, phcache, ucc, *, R, H, W, Wp, a0, da, omega, s,
-                     nb, bim, L):
+                     nb, bim, L, dform=False):
     """Zero-initial-guess fused H-MG ascent leg: emit node rows
     [(i-1)R, iR) of u3 = hrelax(hrelax(0) + P(uc)) — the level's
     pre-smoothed iterate is recomputed in-register, never stored.
@@ -485,7 +487,7 @@ def _zphrelax_kernel(f_ref, ph_ref, uc_ref, k_ref, bnd_ref, dst_ref, u_out,
     jac, x0, _ = _jac_rows(u2, fw[L + 1 : L + R + 2 * D - 1, :],
                            phw[L + 1 : L + R + 2 * D, :] if bim else None,
                            R + 2 * D, a0, da, omega, s, row0, Wp, lo, hi, W,
-                           bim)
+                           bim, dform)
     x = _hchain(x0, k_ref, L, s, row0 + 1, Wp, lo, hi, W)  # (R) rows
     u_out[...] = jac[L : L + R, :] + x
 
@@ -504,10 +506,10 @@ _DUMMY_PH_SPEC = pl.BlockSpec((32, 128), lambda i: (0, 0),
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "omega", "s", "L", "Rc", "out_rows",
-    "own_rows", "interpret", "vmem_mb"))
+    "own_rows", "interpret", "vmem_mb", "dform"))
 def _run_hswrr(u_pad, f_pad, ph_pad, params, dst, bnd, uh=None, fh=None,
                phh=None, *, R, H, W, Wp, a0, da, omega, s, L, Rc, interpret,
-               vmem_mb=None, out_rows=None, own_rows=None):
+               vmem_mb=None, out_rows=None, own_rows=None, dform=False):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if out_rows is None:
@@ -527,7 +529,7 @@ def _run_hswrr(u_pad, f_pad, ph_pad, params, dst, bnd, uh=None, fh=None,
     kern = functools.partial(
         _hswrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega, s=s,
         nb=nb, own_hi=(own_rows if own_rows is not None else nb * R) - 2,
-        bim=bim, L=L)
+        bim=bim, L=L, dform=dform)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 1)]
     args = [u_pad, f_pad]
     if bim:
@@ -576,10 +578,10 @@ def _run_hswrr(u_pad, f_pad, ph_pad, params, dst, bnd, uh=None, fh=None,
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "omega", "s", "L", "R_up", "interpret",
-    "vmem_mb"))
+    "vmem_mb", "dform"))
 def _run_phrelax(u_pad, f_pad, ph_pad, uc_pad, params, dst, bnd, uh=None,
                  fh=None, phh=None, uch=None, *, R, H, W, Wp, a0, da, omega,
-                 s, L, R_up, interpret, vmem_mb=None):
+                 s, L, R_up, interpret, vmem_mb=None, dform=False):
     nb = (u_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if bnd is None:
@@ -596,7 +598,7 @@ def _run_phrelax(u_pad, f_pad, ph_pad, uc_pad, params, dst, bnd, uh=None,
     assert L % 2 == 1, "prolongation window alignment needs odd chain depth"
     kern = functools.partial(
         _phrelax_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega,
-        s=s, nb=nb, bim=bim, L=L)
+        s=s, nb=nb, bim=bim, L=L, dform=dform)
     in_specs = [_lagged_spec(R, Wp, 1), _lagged_spec(R, Wp, 1)]
     args = [u_pad, f_pad]
     if bim:
@@ -638,9 +640,10 @@ def _run_phrelax(u_pad, f_pad, ph_pad, uc_pad, params, dst, bnd, uh=None,
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "omega", "s", "L", "Rc", "out_rows",
-    "interpret", "vmem_mb"))
+    "interpret", "vmem_mb", "dform"))
 def _run_zhswrr(f_pad, ph_pad, params, bnd, *, R, H, W, Wp, a0, da, omega,
-                s, L, Rc, interpret, vmem_mb=None, out_rows=None):
+                s, L, Rc, interpret, vmem_mb=None, out_rows=None,
+                dform=False):
     nb = (f_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if out_rows is None:
@@ -653,7 +656,7 @@ def _run_zhswrr(f_pad, ph_pad, params, bnd, *, R, H, W, Wp, a0, da, omega,
     assert (nb + idx_off + 1) * (R // 2) <= out_rows, "coarse buffer too small"
     kern = functools.partial(
         _zhswrr_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega, s=s,
-        nb=nb, bim=bim, L=L)
+        nb=nb, bim=bim, L=L, dform=dform)
     in_specs = [_lagged_spec(R, Wp, 1)]
     args = [f_pad]
     if bim:
@@ -689,9 +692,10 @@ def _run_zhswrr(f_pad, ph_pad, params, bnd, *, R, H, W, Wp, a0, da, omega,
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "H", "W", "Wp", "a0", "da", "omega", "s", "L", "R_up", "interpret",
-    "vmem_mb"))
+    "vmem_mb", "dform"))
 def _run_zphrelax(f_pad, ph_pad, uc_pad, params, dst, bnd, *, R, H, W, Wp,
-                  a0, da, omega, s, L, R_up, interpret, vmem_mb=None):
+                  a0, da, omega, s, L, R_up, interpret, vmem_mb=None,
+                  dform=False):
     nb = (f_pad.shape[0] - 2 * R) // R
     bim = ph_pad is not None
     if bnd is None:
@@ -700,7 +704,7 @@ def _run_zphrelax(f_pad, ph_pad, uc_pad, params, dst, bnd, *, R, H, W, Wp,
     assert L % 2 == 1, "prolongation window alignment needs odd chain depth"
     kern = functools.partial(
         _zphrelax_kernel, R=R, H=H, W=W, Wp=Wp, a0=a0, da=da, omega=omega,
-        s=s, nb=nb, bim=bim, L=L)
+        s=s, nb=nb, bim=bim, L=L, dform=dform)
     in_specs = [_lagged_spec(R, Wp, 1)]
     args = [f_pad]
     if bim:
@@ -743,7 +747,8 @@ def _run_zphrelax(f_pad, ph_pad, uc_pad, params, dst, bnd, *, R, H, W, Wp,
 
 def hswrr(level: PallasLevel, u_pad, f_pad, params, dst=None,
           out_rows: Optional[int] = None, bnd=None, uh=None, fh=None,
-          phh=None, own_rows: Optional[int] = None, ph_pad=None):
+          phh=None, own_rows: Optional[int] = None, ph_pad=None,
+          dform: bool = False):
     """Fused H-MG descent leg -> (u1, f_c, rsq): u1 = hrelax(u0),
     f_c = 4 FW(f - A u1) in the coarse level's layout, rsq = pre-update
     interior residual norm^2 of u0.  Equivalent to ``u1, rsq = hrelax(u0, f);
@@ -758,12 +763,13 @@ def hswrr(level: PallasLevel, u_pad, f_pad, params, dst=None,
                       a0=level.a0, da=level.da, omega=level.omega, s=level.s,
                       L=int(params.shape[0]), Rc=level.Rc,
                       interpret=level.interpret, vmem_mb=level.vmem_mb,
-                      out_rows=out_rows, own_rows=own_rows)
+                      out_rows=out_rows, own_rows=own_rows, dform=dform)
 
 
 def phrelax(level: PallasLevel, u_pad, f_pad, uc_pad, params,
             R_up: Optional[int] = None, dst=None, bnd=None, uh=None,
-            fh=None, phh=None, uch=None, ph_pad=None):
+            fh=None, phh=None, uch=None, ph_pad=None,
+            dform: bool = False):
     """Fused H-MG ascent leg -> u3 = hrelax(u1 + P(uc)).  Equivalent to
     ``u2, _ = level.psweep(u1, f, uc, omega=0.0); u3, _ = hrelax(u2, f)``.
     Donates ``dst``."""
@@ -776,11 +782,12 @@ def phrelax(level: PallasLevel, u_pad, f_pad, uc_pad, params,
                         a0=level.a0, da=level.da, omega=level.omega,
                         s=level.s, L=int(params.shape[0]),
                         R_up=int(R_up if R_up is not None else level.Rc),
-                        interpret=level.interpret, vmem_mb=level.vmem_mb)
+                        interpret=level.interpret, vmem_mb=level.vmem_mb,
+                        dform=dform)
 
 
 def zhswrr(level: PallasLevel, f_pad, params,
-           out_rows: Optional[int] = None):
+           out_rows: Optional[int] = None, dform: bool = False):
     """ZERO-initial-guess fused H-MG descent leg -> f_c: with
     u1 = hrelax(0) computed in-register, emit f_c = 4 FW(f - A u1).
     u1 never touches HBM (7 B/node bi-material)."""
@@ -789,11 +796,11 @@ def zhswrr(level: PallasLevel, f_pad, params,
                        da=level.da, omega=level.omega, s=level.s,
                        L=int(params.shape[0]), Rc=level.Rc,
                        interpret=level.interpret, vmem_mb=level.vmem_mb,
-                       out_rows=out_rows)
+                       out_rows=out_rows, dform=dform)
 
 
 def zphrelax(level: PallasLevel, f_pad, uc_pad, params,
-             R_up: Optional[int] = None, dst=None):
+             R_up: Optional[int] = None, dst=None, dform: bool = False):
     """ZERO-initial-guess fused H-MG ascent leg -> u3 =
     hrelax(hrelax(0) + P(uc)); the level's pre-smoothed iterate is
     recomputed in-register, never stored.  Donates ``dst``."""
@@ -804,4 +811,5 @@ def zphrelax(level: PallasLevel, f_pad, uc_pad, params,
                          a0=level.a0, da=level.da, omega=level.omega,
                          s=level.s, L=int(params.shape[0]),
                          R_up=int(R_up if R_up is not None else level.Rc),
-                         interpret=level.interpret, vmem_mb=level.vmem_mb)
+                         interpret=level.interpret, vmem_mb=level.vmem_mb,
+                         dform=dform)

@@ -117,7 +117,8 @@ class PallasHMG:
                  rows: int = 64, rows_coarse: int = 32,
                  coarse_rows_below: int = 1024, omega=None,
                  interpret=None, direct_coarse: bool = False,
-                 h_levels=None, coarse_zero_legs: bool = True):
+                 h_levels=None, coarse_zero_legs: bool = True,
+                 dform: bool = False):
         """``h_levels``: apply the H-relax smoother on levels < h_levels and
         plain weighted Jacobi below (None = every level; params must be
         trained for the chosen prefix — learn/train_hnet.make_decay_step
@@ -133,6 +134,11 @@ class PallasHMG:
         self.h_levels = (self.hier.num_levels if h_levels is None
                          else int(h_levels))
         self.coarse_zero_legs = bool(coarse_zero_legs)
+        # opt-in difference-form residuals for the H legs (round 5; see
+        # pallas_sweep._apply_bim_d) — needed for interface problems at
+        # 4097^2+ where plain-form rounding destabilizes the cycle; OFF by
+        # default (the homogeneous benchmark protocol is plain-form).
+        self.dform = bool(dform)
         self.omega = float(omega if omega is not None else jacobi.DEFAULT_OMEGA)
         levels = self.hier.levels
         L = len(levels)
@@ -203,12 +209,13 @@ class PallasHMG:
                 uc = self._coarse_correction(l + 1, fcc, params)
                 return p.zpsweep(fcb, uc)
             if self.coarse_zero_legs:
-                fcc = zhswrr(p, fcb, params)
+                fcc = zhswrr(p, fcb, params, dform=self.dform)
                 uc = self._coarse_correction(l + 1, fcc, params)
-                return zphrelax(p, fcb, uc, params)
-            u1, fcc, _ = hswrr(p, p.zeros(), fcb, params, dst=p.zeros())
+                return zphrelax(p, fcb, uc, params, dform=self.dform)
+            u1, fcc, _ = hswrr(p, p.zeros(), fcb, params, dst=p.zeros(),
+                               dform=self.dform)
             uc = self._coarse_correction(l + 1, fcc, params)
-            return phrelax(p, u1, fcb, uc, params)
+            return phrelax(p, u1, fcb, uc, params, dform=self.dform)
         p = self.pl[l]
         f_plain = p.unpad(fcb)
         u_plain = self._xla_hcycle(l, jnp.zeros_like(f_plain), f_plain, params)
@@ -222,9 +229,9 @@ class PallasHMG:
         from multigrid_feanet_tpu.ops.pallas_hrelax import hswrr, phrelax
 
         p = self.pl[0]
-        u1, fc, rsq = hswrr(p, u, fb, params, dst=sp)
+        u1, fc, rsq = hswrr(p, u, fb, params, dst=sp, dform=self.dform)
         uc = self._coarse_correction(1, fc, params)
-        u3 = phrelax(p, u1, fb, uc, params, dst=u)
+        u3 = phrelax(p, u1, fb, uc, params, dst=u, dform=self.dform)
         return u3, u1, rsq
 
     def solve(self, params, f, u0=None, bc_value=0.0, eps: float = 5e-5,

@@ -176,3 +176,30 @@ def test_pallas_hmg_h_levels_variants(hl, zl):
     # order as residuals shrink
     np.testing.assert_allclose(h2[:5], h1[:5], rtol=2e-4)
     assert np.max(np.abs(h2 - h1) / h1) < 1e-2
+
+
+def test_hrelax_dform_matches_plain_form():
+    """The opt-in difference-form H-relax legs (round 5) compute the same
+    operator as the plain form to f32 roundoff (dform matters only for
+    the rounding BIAS at production scale — see docs/kernel_notes_r5.md)."""
+    from multigrid_feanet_tpu.core import geometry
+    from multigrid_feanet_tpu.ops.pallas_hrelax import hrelax, hswrr
+
+    rng = np.random.default_rng(0)
+    n = 64
+    phase = geometry.circle_phase(2.0, n)
+    p = PallasLevel(n, stride=1, phase=phase, rows=32, rows_next=32,
+                    interpret=True, dform=False)
+    params = jnp.asarray(rng.standard_normal((1, 3, 3)) * 0.1, jnp.float32)
+    u = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    a, _ = hrelax(p, p.pad(u), p.pad(f), params, dst=p.zeros(), dform=False)
+    b, _ = hrelax(p, p.pad(u), p.pad(f), params, dst=p.zeros(), dform=True)
+    np.testing.assert_allclose(np.asarray(p.unpad(a)), np.asarray(p.unpad(b)),
+                               atol=2e-5)
+    u1a, fca, _ = hswrr(p, p.pad(u), p.pad(f), params, dst=p.zeros(),
+                        dform=False)
+    u1b, fcb, _ = hswrr(p, p.pad(u), p.pad(f), params, dst=p.zeros(),
+                        dform=True)
+    np.testing.assert_allclose(np.asarray(p.unpad(u1a)),
+                               np.asarray(p.unpad(u1b)), atol=2e-5)
